@@ -1,0 +1,65 @@
+"""Host-side encodings between Python ints, 32-byte LE scalars, and digit arrays.
+
+The byte format matches the reference's `BlsScalar::to_bytes`/`from_bytes`
+canonical 32-byte little-endian encoding (reference: src/round_constants.rs:61-62,
+src/lib.rs:33-44). Used for I/O, checkpoints, and test oracles; never traced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import DIGIT_BITS, N_DIGITS, P, digits_to_int, int_to_digits
+
+
+def ints_to_digits(values, shape=None) -> np.ndarray:
+    """List/array of canonical Python ints -> (..., N_DIGITS) uint32."""
+    flat = [int(v) for v in np.asarray(values, dtype=object).reshape(-1)]
+    for v in flat:
+        if not 0 <= v < P:
+            raise ValueError(f"not a canonical field element: {v}")
+    out = np.stack([int_to_digits(v) for v in flat])
+    if shape is None:
+        shape = np.asarray(values, dtype=object).shape
+    return out.reshape(tuple(shape) + (N_DIGITS,))
+
+
+def digits_to_ints(digits) -> np.ndarray:
+    """(..., N_DIGITS) uint array -> object array of Python ints."""
+    digits = np.asarray(digits)
+    lead = digits.shape[:-1]
+    flat = digits.reshape(-1, digits.shape[-1])
+    out = np.empty(flat.shape[0], dtype=object)
+    for i, d in enumerate(flat):
+        out[i] = digits_to_int(d)
+    return out.reshape(lead)
+
+
+def scalar_to_bytes(x: int) -> bytes:
+    """Canonical 32-byte little-endian encoding (BlsScalar::to_bytes)."""
+    if not 0 <= x < P:
+        raise ValueError("not a canonical field element")
+    return int(x).to_bytes(32, "little")
+
+
+def scalar_from_bytes(b: bytes) -> int:
+    """Decode canonical 32-byte LE scalar; rejects non-canonical values
+    (mirrors BlsScalar::from_bytes returning None for >= p)."""
+    if len(b) != 32:
+        raise ValueError("expected 32 bytes")
+    x = int.from_bytes(b, "little")
+    if x >= P:
+        raise ValueError("non-canonical scalar encoding")
+    return x
+
+
+def digits_to_bytes(digits) -> bytes:
+    """(..., N_DIGITS) digit array -> concatenated 32-byte LE scalars."""
+    return b"".join(scalar_to_bytes(v) for v in digits_to_ints(digits).reshape(-1))
+
+
+def bytes_to_digits(data: bytes, shape) -> np.ndarray:
+    """Concatenated 32-byte LE scalars -> (..., N_DIGITS) uint32."""
+    n = len(data) // 32
+    vals = [scalar_from_bytes(data[i * 32 : (i + 1) * 32]) for i in range(n)]
+    return ints_to_digits(vals, shape=tuple(shape))
