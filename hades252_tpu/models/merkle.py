@@ -1,0 +1,130 @@
+"""Arity-4 Merkle tree builder over the Hades252 permutation.
+
+The framework's tree-hash driver per BASELINE.md config 4 (the reference has
+no Merkle layer — SURVEY.md §2.5; this is the batched workload that feeds
+the fused permutation kernel at full width).
+
+Node rule (our spec, documented + oracle-tested):
+    parent = perm([TAG, c0, c1, c2, c3])[DIGEST_INDEX]
+where TAG = 4 (the arity, as a field element) occupies the capacity word and
+c0..c3 are the four children in index order. Leaves are canonical field
+elements; levels with fewer than 4^k leaves are zero-padded on the right.
+
+TPU design: each level is one batched permutation call over all parents in
+the level (level sizes 4^k, 4^{k-1}, ...); the level loop is a Python loop
+over log4(N) static shapes, so every level compiles to one fused kernel
+launch. The whole build stays in the Montgomery domain; only the leaves are
+converted in and the root out. Reduction order inside the MDS layer is fixed
+(j-ascending) so the root is bit-identical across backends and meshes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import field
+from ..params import N_DIGITS, WIDTH
+from ..utils.encoding import ints_to_digits
+
+ARITY = 4
+TAG = ARITY  # capacity-word domain tag
+DIGEST_INDEX = 1
+
+
+def _tag_mont():
+    return field.to_mont(jnp.asarray(ints_to_digits([TAG])[0]))
+
+
+def tree_levels(n_leaves: int) -> int:
+    levels = 0
+    n = 1
+    while n < n_leaves:
+        n *= ARITY
+        levels += 1
+    return levels
+
+
+def _pad_to_pow4(leaves: jnp.ndarray) -> jnp.ndarray:
+    n = leaves.shape[0]
+    full = ARITY ** tree_levels(n)
+    return jnp.pad(leaves, ((0, full - n), (0, 0)))
+
+
+def _level_up(nodes_mont: jnp.ndarray, perm_mont_fn) -> jnp.ndarray:
+    """One tree level: (N, D) Montgomery node values -> (N/4, D) parents."""
+    n = nodes_mont.shape[0]
+    children = nodes_mont.reshape(n // ARITY, ARITY, N_DIGITS)
+    tag = jnp.broadcast_to(_tag_mont(), (n // ARITY, 1, N_DIGITS))
+    states = jnp.concatenate([tag, children], axis=1)  # (N/4, WIDTH, D)
+    return perm_mont_fn(states)[:, DIGEST_INDEX, :]
+
+
+def merkle_root(leaves: jnp.ndarray, perm_mont_fn=None) -> jnp.ndarray:
+    """Build the arity-4 tree root over canonical leaf digits.
+
+    leaves: (N, N_DIGITS) uint32 canonical digits (N >= 1; zero-padded to a
+    power of 4). Returns (N_DIGITS,) canonical root digits.
+    """
+    if perm_mont_fn is None:
+        from ..ops import permute_mont as perm_mont_fn
+    if leaves.ndim != 2 or leaves.shape[-1] != N_DIGITS:
+        raise ValueError(f"expected (N, {N_DIGITS}), got {leaves.shape}")
+    level = field.to_mont(_pad_to_pow4(leaves))
+    while level.shape[0] > 1:
+        level = _level_up(level, perm_mont_fn)
+    return field.from_mont(level[0])
+
+
+def merkle_levels(leaves: jnp.ndarray, perm_mont_fn=None) -> list[jnp.ndarray]:
+    """All levels, leaves first (Montgomery domain) — used for proofs and
+    for checkpoint/resume of large builds (SURVEY.md §5)."""
+    if perm_mont_fn is None:
+        from ..ops import permute_mont as perm_mont_fn
+    level = field.to_mont(_pad_to_pow4(jnp.asarray(leaves)))
+    levels = [level]
+    while level.shape[0] > 1:
+        level = _level_up(level, perm_mont_fn)
+        levels.append(level)
+    return levels
+
+
+# ---------------------------------------------------------------------------
+# Merkle openings (inclusion proofs) — capability beyond the reference,
+# matching what dusk-poseidon builds downstream of Hades252.
+# ---------------------------------------------------------------------------
+
+
+def merkle_open(levels: list[jnp.ndarray], index: int):
+    """Produce the opening path for leaf `index` from `merkle_levels` output.
+
+    Returns a list of (siblings, position) per level, where siblings is the
+    (ARITY, N_DIGITS) Montgomery-domain group containing the node and
+    position is the node's index within the group.
+    """
+    path = []
+    for level in levels[:-1]:
+        group = index // ARITY
+        sibs = level[group * ARITY : (group + 1) * ARITY]
+        path.append((sibs, index % ARITY))
+        index = group
+    return path
+
+
+def merkle_verify(root, leaf, path, perm_mont_fn=None) -> bool:
+    """Check an opening path (host-side; small fixed work)."""
+    if perm_mont_fn is None:
+        from ..ops import permute_mont as perm_mont_fn
+    import numpy as np
+
+    node = field.to_mont(jnp.asarray(leaf))
+    for sibs, pos in path:
+        if not np.array_equal(np.asarray(sibs[pos]), np.asarray(node)):
+            return False
+        states = jnp.concatenate(
+            [_tag_mont()[None, None], jnp.asarray(sibs)[None]], axis=1
+        )
+        node = perm_mont_fn(states)[0, DIGEST_INDEX, :]
+    return bool(
+        jnp.array_equal(field.from_mont(node), jnp.asarray(root)).item()
+    )

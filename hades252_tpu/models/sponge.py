@@ -1,0 +1,88 @@
+"""Poseidon-style sponge over the Hades252 permutation, batched and streaming.
+
+The reference deliberately carries no hashing mode (removed in 0.7.0 —
+reference CHANGELOG.md:159-162: the permutation is the capability; sponge
+lives downstream in dusk-poseidon). This module is the framework's sponge
+driver per BASELINE.md config 3, designed TPU-first:
+
+  * rate 4 / capacity 1 over the width-5 state;
+  * fixed-length domain separation: the capacity word (word 0) is
+    initialized to the message length L as a field element, so no bit
+    padding is needed — messages are zero-padded to a multiple of the rate
+    (our spec; documented here, tested against a Python int oracle);
+  * absorption adds message words into state words 1..4 (modular add, which
+    commutes with the Montgomery domain), then permutes;
+  * the digest is state word 1 after the final permutation;
+  * streams are the batch axis: absorption is sequential per stream
+    (an inherent dependency chain — SURVEY.md §5 long-context note), so
+    throughput scales with the number of independent streams; chunks
+    iterate under lax.scan with the state resident on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import field
+from ..params import N_DIGITS, WIDTH
+from ..utils.encoding import ints_to_digits
+
+RATE = WIDTH - 1  # 4
+CAPACITY_INDEX = 0
+DIGEST_INDEX = 1
+
+
+def _iv_digits(length: int):
+    """Capacity initialization: the message length as a field element."""
+    return ints_to_digits([length])[0]  # (N_DIGITS,)
+
+
+def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None) -> jnp.ndarray:
+    """Hash B fixed-length messages of L field elements each.
+
+    msgs: (B, L, N_DIGITS) uint32 canonical digits.
+    Returns (B, N_DIGITS) canonical digest digits.
+
+    perm_mont_fn: batched Montgomery-domain permutation
+    (B, WIDTH, N_DIGITS) -> same; defaults to the pure-JAX oracle.
+    """
+    if perm_mont_fn is None:
+        from ..ops import permute_mont as perm_mont_fn
+    if msgs.ndim != 3 or msgs.shape[-1] != N_DIGITS:
+        raise ValueError(f"expected (B, L, {N_DIGITS}), got {msgs.shape}")
+    b, length, _ = msgs.shape
+    if length == 0:
+        raise ValueError("empty message")
+
+    pad = (-length) % RATE
+    msgs = jnp.pad(msgs, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = (length + pad) // RATE
+    msgs_mont = field.to_mont(msgs)
+    # (n_chunks, B, RATE, D) scan-major
+    chunks = jnp.transpose(
+        msgs_mont.reshape(b, n_chunks, RATE, N_DIGITS), (1, 0, 2, 3)
+    )
+
+    iv = field.to_mont(jnp.asarray(_iv_digits(length)))
+    state = jnp.zeros((b, WIDTH, N_DIGITS), jnp.uint32)
+    state = state.at[:, CAPACITY_INDEX, :].set(
+        jnp.broadcast_to(iv, (b, N_DIGITS))
+    )
+
+    def absorb(state, chunk):
+        fed = field.add_mod(state[:, 1:, :], chunk)
+        state = jnp.concatenate([state[:, :1, :], fed], axis=1)
+        return perm_mont_fn(state), None
+
+    state, _ = jax.lax.scan(absorb, state, chunks)
+    return field.from_mont(state[:, DIGEST_INDEX, :])
+
+
+def sponge_hash_ints(words, perm_mont_fn=None) -> int:
+    """Convenience: hash one message given as a list of canonical ints."""
+    from ..utils.encoding import digits_to_ints
+
+    digits = ints_to_digits([[int(w) for w in words]])
+    out = sponge_hash(jnp.asarray(digits), perm_mont_fn)
+    return int(digits_to_ints(out[0]))

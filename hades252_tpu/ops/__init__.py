@@ -1,0 +1,30 @@
+"""Compute ops: the permutation backends.
+
+`make_perm_mont_fn` is the seam the model drivers (sponge, Merkle) build on:
+a function (B, WIDTH, N_DIGITS) Montgomery-domain state -> permuted state,
+with backend-pluggability mirroring the reference's Strategy trait split
+(reference: src/strategies.rs:31 — one schedule, N backends).
+"""
+
+from __future__ import annotations
+
+from .perm_ref import permute, permute_mont  # noqa: F401
+
+
+def make_perm_mont_fn(backend: str = "ref", *, block: int = 1024,
+                      interpret: bool = False):
+    """Return a Montgomery-domain batched permutation callable.
+
+    backend "ref": pure-JAX oracle (runs on any platform).
+    backend "pallas": fused TPU kernel (interpret=True for CPU testing).
+    """
+    if backend == "ref":
+        return permute_mont
+    if backend == "pallas":
+        from .perm_pallas import permute_pallas_mont
+
+        def fn(x):
+            return permute_pallas_mont(x, block=block, interpret=interpret)
+
+        return fn
+    raise ValueError(f"unknown backend: {backend}")

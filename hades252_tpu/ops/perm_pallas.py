@@ -1,0 +1,290 @@
+"""Fused Pallas TPU kernel: the full 67-round Hades252 permutation per tile.
+
+TPU-native equivalent of the reference hot path `ScalarStrategy::perm`
+(reference: src/strategies.rs:140-157 + src/strategies/scalar.rs:22-50),
+designed for the VPU rather than translated:
+
+  * Layout is PLANAR / digit-major: a tile holds B independent permutation
+    states as (WIDTH, N_DIGITS, B) uint32 — the batch axis maps onto the
+    128-wide lane dimension so every digit op is a full-width vector op,
+    and the 16-digit axis maps onto sublanes. (The batch-minor layout of
+    field.py would waste 7/8 of each lane group.)
+  * All 67 rounds are fused in one kernel invocation per tile: state stays
+    in VMEM/registers for the whole permutation; only the initial load and
+    final store touch HBM. Round constants (67x5x16 u32 = 21 KB) and the
+    MDS matrix (1.6 KB) are VMEM-resident.
+  * Field arithmetic is the same exact schoolbook + full-word Montgomery
+    REDC scheme as field.py (see overflow analysis there), specialized to
+    digit-major arrays and fully unrolled over digits; rounds iterate via
+    lax.fori_loop so the Mosaic trace stays ~3 round bodies.
+
+Verified bit-exact against ops/perm_ref.py (tests/test_perm_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import (
+    DIGIT_BITS,
+    DIGIT_MASK,
+    N_DIGITS,
+    PARTIAL_ROUNDS,
+    TOTAL_FULL_ROUNDS,
+    ROUNDS,
+    WIDTH,
+    perm_constants_np,
+)
+
+# numpy scalars, not jnp arrays: Pallas kernels must not close over jax.Arrays
+_MASK = np.uint32(DIGIT_MASK)
+_SH = DIGIT_BITS
+_D = N_DIGITS
+
+# Default lane-axis tile: 8 sublane-groups x 128 lanes.
+DEFAULT_BLOCK = 1024
+
+
+# ---------------------------------------------------------------------------
+# Digit-major field arithmetic (arrays are (n_digits, B); axis 0 = digits).
+# Exactness bounds are identical to field.py: 16x16-bit digit products are
+# exact in uint32; column sums < 2^22; carry chains are unrolled.
+# ---------------------------------------------------------------------------
+
+
+def _carry(acc):
+    """Normalize column sums to 16-bit digits; final carry must be 0."""
+    rows = []
+    carry = jnp.zeros_like(acc[0:1])
+    for d in range(acc.shape[0]):
+        t = acc[d : d + 1] + carry
+        rows.append(t & _MASK)
+        carry = t >> _SH
+    return jnp.concatenate(rows, axis=0)
+
+
+def _slice_add(acc, start, vals):
+    """acc[start:start+len(vals)] += vals, via slice+concat (Pallas-friendly:
+    .at[].add lowers to scatter, which Mosaic rejects for captured indices)."""
+    stop = start + vals.shape[0]
+    pieces = []
+    if start > 0:
+        pieces.append(acc[:start])  # Mosaic rejects zero-size slices
+    pieces.append(acc[start:stop] + vals)
+    if stop < acc.shape[0]:
+        pieces.append(acc[stop:])
+    if len(pieces) == 1:
+        return pieces[0]
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _mul(a, b, n_out):
+    """Schoolbook product of digit-major values, normalized to n_out digits.
+
+    a, b: (D, 1) or (D, B) in any combination. n_out = 2D for the full
+    512-bit product, D for a mod-2^256 low product.
+    """
+    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = jnp.zeros((n_out,) + bshape, jnp.uint32)
+    for i in range(_D):
+        prod = a[i : i + 1] * b  # (D, B), exact in uint32
+        lo = prod & _MASK
+        hi = prod >> _SH
+        w_lo = min(_D, n_out - i)
+        if w_lo > 0:
+            acc = _slice_add(acc, i, lo[:w_lo])
+        w_hi = min(_D, n_out - i - 1)
+        if w_hi > 0:
+            acc = _slice_add(acc, i + 1, hi[:w_hi])
+    return _carry(acc)
+
+
+def _add_wide(a, b):
+    """Digit-wise sum with carry chain (carry out structurally zero)."""
+    return _carry(a + b)
+
+
+def _sub_borrow(a, b):
+    """a - b with borrow chain: returns (borrow (1,B), digits)."""
+    rows = []
+    borrow = jnp.zeros_like(a[0:1])
+    for d in range(a.shape[0]):
+        t = a[d : d + 1] - b[d : d + 1] - borrow  # wraps mod 2^32
+        rows.append(t & _MASK)
+        borrow = t >> np.uint32(31)
+    return borrow, jnp.concatenate(rows, axis=0)
+
+
+def _cond_sub_p(a, p):
+    """Reduce [0, 2p) -> [0, p)."""
+    borrow, diff = _sub_borrow(a, jnp.broadcast_to(p, a.shape))
+    return jnp.where(borrow == 0, diff, a)
+
+
+def _add_mod(a, b, p):
+    return _cond_sub_p(_add_wide(a, jnp.broadcast_to(b, a.shape)), p)
+
+
+def _mont_mul(a, b, p, pp):
+    """Montgomery product a*b*R^{-1} mod p, digit-major (see field.mont_mul)."""
+    t = _mul(a, b, 2 * _D)
+    m = _mul(t[:_D], pp, _D)
+    mp = _mul(m, jnp.broadcast_to(p, m.shape), 2 * _D)
+    s = _add_wide(t, mp)  # T + m*p < 2Rp < 2^512
+    return _cond_sub_p(s[_D:], p)
+
+
+def _sbox(x, p, pp):
+    """x^5: (x^2)^2 * x (reference: src/strategies/scalar.rs:32-34)."""
+    x2 = _mont_mul(x, x, p, pp)
+    x4 = _mont_mul(x2, x2, p, pp)
+    return _mont_mul(x4, x, p, pp)
+
+
+# ---------------------------------------------------------------------------
+# The fused permutation kernel
+# ---------------------------------------------------------------------------
+
+
+def _perm_kernel(ark_ref, mds_ref, fc_ref, in_ref, out_ref, *, convert: bool):
+    """67-round permutation on one planar tile.
+
+    ark_ref: (ROUNDS, WIDTH, D) Montgomery ARK constants.
+    mds_ref: (WIDTH, WIDTH, D) Montgomery MDS.
+    fc_ref:  (4, D) field constants: p, p', R^2, 1.
+    in_ref/out_ref: (WIDTH, D, B) canonical digits (convert=True) or
+    Montgomery-domain digits (convert=False, for sponge/Merkle pipelines
+    that stay in-domain across permutations).
+    """
+    p = fc_ref[0, :][:, None]  # (D, 1)
+    pp = fc_ref[1, :][:, None]
+    r2 = fc_ref[2, :][:, None]
+    one = fc_ref[3, :][:, None]
+
+    if convert:
+        # Load + convert to Montgomery (10 of ~1982 muls: ~0.5% overhead)
+        state = [_mont_mul(in_ref[w], r2, p, pp) for w in range(WIDTH)]
+    else:
+        state = [in_ref[w] for w in range(WIDTH)]
+
+    def mds_layer(state):
+        """Mix layer (reference: scalar.rs:36-49), j-ascending reduction."""
+        out = []
+        for k in range(WIDTH):
+            acc = None
+            for j in range(WIDTH):
+                m = mds_ref[k, j, :][:, None]
+                prod = _mont_mul(m, state[j], p, pp)
+                acc = prod if acc is None else _add_mod(acc, prod, p)
+            out.append(acc)
+        return out
+
+    def round_fn(r, state, full):
+        cs = ark_ref[r]  # (WIDTH, D) dynamic round index
+        state = [_add_mod(state[w], cs[w, :][:, None], p) for w in range(WIDTH)]
+        if full:
+            state = [_sbox(w, p, pp) for w in state]
+        else:
+            state = state[:-1] + [_sbox(state[-1], p, pp)]
+        return mds_layer(state)
+
+    half = TOTAL_FULL_ROUNDS // 2
+
+    def full_body(r, st):
+        return tuple(round_fn(r, list(st), full=True))
+
+    def partial_body(r, st):
+        return tuple(round_fn(r, list(st), full=False))
+
+    st = tuple(state)
+    st = jax.lax.fori_loop(0, half, full_body, st)
+    st = jax.lax.fori_loop(half, half + PARTIAL_ROUNDS, partial_body, st)
+    st = jax.lax.fori_loop(half + PARTIAL_ROUNDS, ROUNDS, full_body, st)
+
+    # Store (converting out of the Montgomery domain if we converted in)
+    for w in range(WIDTH):
+        out_ref[w] = _mont_mul(st[w], one, p, pp) if convert else st[w]
+
+
+@functools.cache
+def _const_arrays():
+    # numpy (not jnp) so the cache never captures tracers when first
+    # populated inside a jit trace
+    c = perm_constants_np()
+    fc = np.stack([c["p"], c["p_prime"], c["r2"], c["one"]])
+    return c["ark_mont"], c["mds_mont"], fc
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "convert"))
+def permute_planar(
+    x, *, block: int = DEFAULT_BLOCK, interpret: bool = False, convert: bool = True
+):
+    """Fused-kernel permutation on planar state.
+
+    x: (WIDTH, N_DIGITS, B) uint32, B a multiple of `block` (the per-tile
+    batch width; multiples of 128 lanes). Returns the same shape/layout.
+    convert=True: x is canonical digits. convert=False: x is already in the
+    Montgomery domain and stays there (for perm-chaining pipelines).
+    """
+    if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != jnp.uint32:
+        raise ValueError(
+            f"expected ({WIDTH}, {N_DIGITS}, B) uint32, got {x.shape} {x.dtype}"
+        )
+    b = x.shape[2]
+    if b % block != 0:
+        raise ValueError(f"batch {b} not a multiple of block {block}")
+    ark, mds, fc = _const_arrays()
+    grid = (b // block,)
+    return pl.pallas_call(
+        functools.partial(_perm_kernel, convert=convert),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROUNDS, WIDTH, N_DIGITS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WIDTH, WIDTH, N_DIGITS), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, N_DIGITS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WIDTH, N_DIGITS, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((WIDTH, N_DIGITS, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ark, mds, fc, x)
+
+
+def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False):
+    """Fused-kernel permutation on batch-major canonical state.
+
+    Drop-in fast path for ops/perm_ref.permute: x is (B, WIDTH, N_DIGITS)
+    uint32 canonical digits (B >= 1, any size; padded to the tile width
+    internally). Bit-exact with the oracle.
+    """
+    return _batch_major(x, block=block, interpret=interpret, convert=True)
+
+
+def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False):
+    """Like permute_pallas but on Montgomery-domain state (no conversions);
+    the building block for sponge/Merkle pipelines that chain permutations."""
+    return _batch_major(x, block=block, interpret=interpret, convert=False)
+
+
+def _batch_major(x, *, block, interpret, convert):
+    x = jnp.asarray(x)
+    if x.ndim != 3 or x.shape[1:] != (WIDTH, N_DIGITS):
+        raise ValueError(f"expected (B, {WIDTH}, {N_DIGITS}), got {x.shape}")
+    b = x.shape[0]
+    blk = min(block, 128) if b < block else block
+    pad = (-b) % blk
+    xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+    planar = jnp.transpose(xp, (1, 2, 0))
+    out = permute_planar(planar, block=blk, interpret=interpret, convert=convert)
+    return jnp.transpose(out, (2, 0, 1))[:b]

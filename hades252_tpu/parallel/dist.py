@@ -1,0 +1,122 @@
+"""Multi-chip sharding: data-parallel permutations and sharded Merkle builds.
+
+The reference is single-threaded (SURVEY.md §2.5: no parallelism of any
+kind); this layer is where the TPU framework scales out, per the BASELINE
+north star. Design:
+
+  * Data parallelism is THE axis (SURVEY.md §2.5 table): the unit of work is
+    one width-5 permutation; B independent permutations shard over a 1-D
+    device mesh with `shard_map`, each device running the fused kernel on
+    its tile. No cross-device traffic.
+  * Merkle builds shard the LEAVES contiguously. Each device builds its
+    local subtree h levels down with zero communication (children never
+    cross device boundaries for contiguous sharding), where
+    h = max{h : 4^h | N/n_dev}; then one `all_gather` over the mesh axis
+    (ICI) moves the surviving N/4^h nodes to every device and the top
+    log4(N/4^h) levels finish replicated. The tree structure is the GLOBAL
+    one, so the root is bit-identical to the single-host build regardless
+    of mesh shape (SURVEY.md §7 hard part 5).
+  * Collectives ride the mesh axis (`jax.lax.all_gather` -> ICI within a
+    pod slice, DCN across slices under jax.distributed initialization).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .. import field
+from ..models.merkle import ARITY, DIGEST_INDEX, _level_up, _pad_to_pow4, tree_levels
+from ..params import N_DIGITS, WIDTH
+
+AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over the first n_devices devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return jax.make_mesh((n_devices,), (AXIS,), devices=devs[:n_devices])
+
+
+def permute_sharded(x: jnp.ndarray, mesh: Mesh, perm_fn=None) -> jnp.ndarray:
+    """Batch-sharded permutation: x (B, WIDTH, N_DIGITS) canonical digits,
+    B divisible by the mesh size."""
+    if perm_fn is None:
+        from ..ops.perm_ref import permute as perm_fn
+    if x.shape[0] % mesh.shape[AXIS] != 0:
+        raise ValueError(
+            f"batch {x.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
+        )
+    fn = shard_map(
+        perm_fn, mesh=mesh, in_specs=P(AXIS, None, None),
+        out_specs=P(AXIS, None, None), check_vma=False,
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(AXIS, None, None)))
+    return jax.jit(fn)(x)
+
+
+def sponge_hash_sharded(msgs: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
+    """Stream-sharded sponge: msgs (B, L, N_DIGITS), B divisible by mesh."""
+    from ..models.sponge import sponge_hash
+
+    if perm_mont_fn is None:
+        from ..ops import permute_mont as perm_mont_fn
+    if msgs.shape[0] % mesh.shape[AXIS] != 0:
+        raise ValueError(
+            f"batch {msgs.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
+        )
+    fn = shard_map(
+        lambda m: sponge_hash(m, perm_mont_fn),
+        mesh=mesh,
+        in_specs=P(AXIS, None, None),
+        out_specs=P(AXIS, None), check_vma=False,
+    )
+    msgs = jax.device_put(msgs, NamedSharding(mesh, P(AXIS, None, None)))
+    return jax.jit(fn)(msgs)
+
+
+def _local_tree_height(n_local: int) -> int:
+    h = 0
+    while n_local % (ARITY ** (h + 1)) == 0:
+        h += 1
+    return h
+
+
+def merkle_root_sharded(leaves: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
+    """Sharded arity-4 Merkle root, bit-identical to models.merkle.merkle_root.
+
+    leaves: (N, N_DIGITS) canonical digits; N is padded to a power of 4
+    globally, and the padded count must be divisible by the mesh size.
+    """
+    if perm_mont_fn is None:
+        from ..ops import permute_mont as perm_mont_fn
+    if leaves.ndim != 2 or leaves.shape[-1] != N_DIGITS:
+        raise ValueError(f"expected (N, {N_DIGITS}), got {leaves.shape}")
+    n_dev = mesh.shape[AXIS]
+    padded = _pad_to_pow4(leaves)
+    n = padded.shape[0]
+    if n % n_dev != 0:
+        raise ValueError(f"padded leaf count {n} not divisible by mesh {n_dev}")
+    h_local = _local_tree_height(n // n_dev)
+    total_h = tree_levels(n)
+
+    def build(local_leaves):
+        level = field.to_mont(local_leaves)
+        for _ in range(h_local):
+            level = _level_up(level, perm_mont_fn)
+        # one gather over ICI: the global level at height h_local
+        level = jax.lax.all_gather(level, AXIS, tiled=True)
+        for _ in range(total_h - h_local):
+            level = _level_up(level, perm_mont_fn)
+        return field.from_mont(level)
+
+    fn = shard_map(
+        build, mesh=mesh, in_specs=P(AXIS, None), out_specs=P(None, None),
+        check_vma=False,
+    )
+    padded = jax.device_put(padded, NamedSharding(mesh, P(AXIS, None)))
+    return jax.jit(fn)(padded)[0]

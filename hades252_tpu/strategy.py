@@ -64,8 +64,8 @@ class ScalarStrategy(Strategy):
         if isinstance(values, (list, tuple)):
             if len(values) != WIDTH:
                 raise ValueError(f"state must have exactly {WIDTH} words")
-            digits = ints_to_digits([int(v) % P for v in values])
-            out = np.asarray(self._permute(digits))
+            digits = ints_to_digits([int(v) % P for v in values])[None]
+            out = np.asarray(self._permute(digits))[0]
             return [int(v) for v in digits_to_ints(out)]
         values = np.asarray(values)
         if values.ndim < 2 or values.shape[-2] != WIDTH:

@@ -1,0 +1,83 @@
+"""ctypes bindings for the native C++ host oracle (native/hades_cpu.cpp).
+
+Builds the shared library on first use if the toolchain is available; all
+callers degrade gracefully when it is not (the pure-Python oracle remains
+authoritative for correctness, just slower).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import cache
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+@cache
+def _lib() -> ctypes.CDLL:
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libhades_cpu.so"))
+    if not os.path.exists(so):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            raise NativeUnavailable(f"cannot build native oracle: {e}") from e
+    lib = ctypes.CDLL(so)
+    lib.hades_init.restype = ctypes.c_int
+    lib.hades_init.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_char_p,
+        ctypes.c_long,
+    ]
+    lib.hades_perm_batch.restype = ctypes.c_int
+    lib.hades_perm_batch.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    lib.hades_bench.restype = ctypes.c_double
+    lib.hades_bench.argtypes = [ctypes.c_long]
+    ark = open(os.path.join(_ASSET_DIR, "ark.bin"), "rb").read()
+    mds = open(os.path.join(_ASSET_DIR, "mds.bin"), "rb").read()
+    if lib.hades_init(ark, len(ark), mds, len(mds)) != 0:
+        raise NativeUnavailable("hades_init failed")
+    return lib
+
+
+def available() -> bool:
+    try:
+        _lib()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def perm_batch_bytes(states: bytes | bytearray, n: int) -> bytes:
+    """Permute n width-5 states serialized as n*5*32 canonical LE bytes."""
+    buf = ctypes.create_string_buffer(bytes(states), len(states))
+    if _lib().hades_perm_batch(buf, n) != 0:
+        raise NativeUnavailable("hades_perm_batch failed")
+    return buf.raw
+
+
+def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
+    """Permute (B, 5, N_DIGITS) uint32 canonical digit arrays natively."""
+    from .encoding import bytes_to_digits, digits_to_bytes
+
+    b = digits.shape[0]
+    out = perm_batch_bytes(digits_to_bytes(digits), b)
+    return bytes_to_digits(out, (b, 5))
+
+
+def bench_perms_per_sec(n: int = 20000) -> float:
+    """Single-thread native permutations/second (the CPU reference class)."""
+    return float(_lib().hades_bench(n))

@@ -1,0 +1,216 @@
+// Native host-side Hades252 oracle: BLS12-381 scalar field + the width-5
+// permutation, single-threaded 4x u64 Montgomery arithmetic.
+//
+// Role in the framework (not a TPU compute path):
+//   * fast CPU oracle for large-batch cross-checks (Merkle roots over 2^20
+//     leaves are impractical with Python big-ints),
+//   * the measured stand-in for the reference implementation's performance
+//     class (dusk-hades is a single-threaded Rust crate over 4x u64
+//     Montgomery limbs — reference: src/strategies/scalar.rs + the external
+//     dusk-bls12_381 crate); bench.py reports TPU throughput relative to
+//     this baseline.
+//
+// Exposed via a C ABI and loaded from Python with ctypes (no pybind11 in
+// this image). Build: `make -C native` -> libhades_cpu.so.
+//
+// Algorithm parity (reference: src/strategies.rs:140-157):
+//   4 full rounds, 59 partial rounds, 4 full rounds; ARK adds a constant to
+//   every word each round; S-box x^5 on all words (full) / last word only
+//   (partial); 5x5 MDS mat-vec. Constants are read verbatim from
+//   ark.bin/mds.bin (canonical little-endian integers, SURVEY.md §2.2).
+
+#include <cstdint>
+#include <cstring>
+#include <chrono>
+
+extern "C" {
+
+namespace {
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+constexpr int WIDTH = 5;
+constexpr int FULL_HALF = 4;
+constexpr int PARTIAL = 59;
+constexpr int ROUNDS = 2 * FULL_HALF + PARTIAL;
+constexpr int N_ARK = 960;
+
+// BLS12-381 scalar field modulus, little-endian u64 limbs.
+constexpr u64 P[4] = {0xffffffff00000001ull, 0x53bda402fffe5bfeull,
+                      0x3339d80809a1d805ull, 0x73eda753299d7d48ull};
+// -p^{-1} mod 2^64
+constexpr u64 INV = 0xfffffffeffffffffull;
+// R^2 mod p (R = 2^256)
+constexpr u64 R2[4] = {0xc999e990f3f29c6dull, 0x2b6cedcb87925c23ull,
+                       0x05d314967254398full, 0x0748d9d99f59ff11ull};
+
+struct Fr {
+  u64 l[4];
+};
+
+inline bool geq_p(const u64 a[4]) {
+  for (int i = 3; i >= 0; --i) {
+    if (a[i] > P[i]) return true;
+    if (a[i] < P[i]) return false;
+  }
+  return true;  // equal
+}
+
+inline void sub_p(u64 a[4]) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 t = (u128)a[i] - P[i] - borrow;
+    a[i] = (u64)t;
+    borrow = (t >> 64) & 1;
+  }
+}
+
+inline void add(Fr& out, const Fr& a, const Fr& b) {
+  u128 carry = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 t = (u128)a.l[i] + b.l[i] + carry;
+    out.l[i] = (u64)t;
+    carry = t >> 64;
+  }
+  if (geq_p(out.l)) sub_p(out.l);
+}
+
+// Montgomery CIOS multiply: out = a * b * R^{-1} mod p.
+inline void mont_mul(Fr& out, const Fr& a, const Fr& b) {
+  u64 t[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < 4; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+      u128 cur = (u128)t[j] + (u128)a.l[i] * b.l[j] + carry;
+      t[j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    u128 cur = (u128)t[4] + carry;
+    t[4] = (u64)cur;
+    t[5] = (u64)(cur >> 64);
+
+    u64 m = t[0] * INV;
+    carry = ((u128)t[0] + (u128)m * P[0]) >> 64;
+    for (int j = 1; j < 4; ++j) {
+      u128 c2 = (u128)t[j] + (u128)m * P[j] + carry;
+      t[j - 1] = (u64)c2;
+      carry = c2 >> 64;
+    }
+    cur = (u128)t[4] + carry;
+    t[3] = (u64)cur;
+    t[4] = t[5] + (u64)(cur >> 64);
+  }
+  std::memcpy(out.l, t, 32);
+  if (t[4] || geq_p(out.l)) sub_p(out.l);
+}
+
+inline void sqr(Fr& out, const Fr& a) { mont_mul(out, a, a); }
+
+inline void sbox5(Fr& x) {
+  Fr x2, x4;
+  sqr(x2, x);
+  sqr(x4, x2);
+  mont_mul(x, x4, x);
+}
+
+Fr g_ark[N_ARK];        // Montgomery form
+Fr g_mds[WIDTH][WIDTH]; // Montgomery form
+bool g_ready = false;
+
+inline void to_mont(Fr& x) {
+  Fr r2;
+  std::memcpy(r2.l, R2, 32);
+  mont_mul(x, x, r2);
+}
+
+inline void from_mont(Fr& x) {
+  Fr one = {{1, 0, 0, 0}};
+  mont_mul(x, x, one);
+}
+
+inline void decode(Fr& out, const uint8_t* bytes) {
+  std::memcpy(out.l, bytes, 32);  // little-endian host assumed (x86/arm LE)
+}
+
+inline void perm_mont(Fr s[WIDTH]) {
+  int ci = 0;
+  Fr res[WIDTH];
+  for (int r = 0; r < ROUNDS; ++r) {
+    const bool full = r < FULL_HALF || r >= FULL_HALF + PARTIAL;
+    for (int w = 0; w < WIDTH; ++w) add(s[w], s[w], g_ark[ci++]);
+    if (full) {
+      for (int w = 0; w < WIDTH; ++w) sbox5(s[w]);
+    } else {
+      sbox5(s[WIDTH - 1]);
+    }
+    for (int k = 0; k < WIDTH; ++k) {
+      Fr acc = {{0, 0, 0, 0}};
+      for (int j = 0; j < WIDTH; ++j) {
+        Fr prod;
+        mont_mul(prod, g_mds[k][j], s[j]);
+        add(acc, acc, prod);
+      }
+      res[k] = acc;
+    }
+    for (int w = 0; w < WIDTH; ++w) s[w] = res[w];
+  }
+}
+
+}  // namespace
+
+// Load constants from the raw asset bytes (canonical LE scalars).
+// Returns 0 on success.
+int hades_init(const uint8_t* ark, long ark_len, const uint8_t* mds,
+               long mds_len) {
+  if (ark_len != N_ARK * 32 || mds_len != WIDTH * WIDTH * 32) return -1;
+  for (int i = 0; i < N_ARK; ++i) {
+    decode(g_ark[i], ark + 32 * i);
+    to_mont(g_ark[i]);
+  }
+  for (int i = 0; i < WIDTH; ++i)
+    for (int j = 0; j < WIDTH; ++j) {
+      decode(g_mds[i][j], mds + 32 * (i * WIDTH + j));
+      to_mont(g_mds[i][j]);
+    }
+  g_ready = true;
+  return 0;
+}
+
+// Permute n states in place. states = n * WIDTH * 32 bytes, each scalar a
+// canonical 32-byte LE integer (< p).
+int hades_perm_batch(uint8_t* states, long n) {
+  if (!g_ready) return -1;
+  for (long b = 0; b < n; ++b) {
+    Fr s[WIDTH];
+    for (int w = 0; w < WIDTH; ++w) {
+      decode(s[w], states + 32 * (b * WIDTH + w));
+      to_mont(s[w]);
+    }
+    perm_mont(s);
+    for (int w = 0; w < WIDTH; ++w) {
+      from_mont(s[w]);
+      std::memcpy(states + 32 * (b * WIDTH + w), s[w].l, 32);
+    }
+  }
+  return 0;
+}
+
+// Single-thread throughput measurement: permute n dummy states, return
+// permutations per second.
+double hades_bench(long n) {
+  if (!g_ready) return -1.0;
+  Fr s[WIDTH] = {};
+  for (int w = 0; w < WIDTH; ++w) s[w].l[0] = (u64)w + 1;
+  for (int w = 0; w < WIDTH; ++w) to_mont(s[w]);
+  auto t0 = std::chrono::steady_clock::now();
+  for (long i = 0; i < n; ++i) perm_mont(s);
+  auto t1 = std::chrono::steady_clock::now();
+  double secs = std::chrono::duration<double>(t1 - t0).count();
+  // fold the state into a sink so the loop cannot be optimized away
+  volatile u64 sink = s[0].l[0];
+  (void)sink;
+  return (double)n / secs;
+}
+
+}  // extern "C"

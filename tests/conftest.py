@@ -1,18 +1,22 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX imports.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 Tests validate numerics and sharding semantics on the CPU backend (bit-exact
 integer arithmetic is platform-independent); the real-TPU path is exercised
 by bench.py and the driver's compile checks.
+
+Note: this environment preloads the axon TPU plugin via sitecustomize, so
+XLA_FLAGS/JAX_PLATFORMS env vars are applied too late — use jax.config
+instead (it wins as long as no backend has been touched yet).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compilation cache: the scan-heavy oracle takes minutes to
+# compile; cache across test sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

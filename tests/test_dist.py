@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 test plan item e)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hades252_tpu.models import merkle, sponge
+from hades252_tpu.parallel import dist
+from hades252_tpu.params import P
+from hades252_tpu.utils.encoding import ints_to_digits
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return dist.make_mesh(8)
+
+
+def rand_digits(rng, n):
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(n)]
+    return jnp.asarray(ints_to_digits(vals, shape=(n,)))
+
+
+def test_permute_sharded_matches_single(rng, mesh8):
+    from hades252_tpu.ops.perm_ref import permute
+
+    vals = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+            for _ in range(16)]
+    x = jnp.asarray(ints_to_digits(vals, shape=(16, 5)))
+    out = dist.permute_sharded(x, mesh8)
+    ref = permute(x)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sponge_sharded_matches_single(rng, mesh8):
+    msgs_int = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(4)]
+                for _ in range(8)]
+    msgs = jnp.asarray(ints_to_digits(msgs_int, shape=(8, 4)))
+    out = dist.sponge_hash_sharded(msgs, mesh8)
+    ref = sponge.sponge_hash(msgs)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_merkle_sharded_bit_identical_8dev(rng, mesh8):
+    # 256 leaves over 8 devices: local height h=2 (32 = 4^2 * 2), gather at
+    # the 16-node level, finish replicated
+    leaves = rand_digits(rng, 256)
+    root_sharded = dist.merkle_root_sharded(leaves, mesh8)
+    root_single = merkle.merkle_root(leaves)
+    assert np.array_equal(np.asarray(root_sharded), np.asarray(root_single))
+
+
+def test_merkle_sharded_mesh_shape_invariance(rng):
+    # roots must be identical across 1, 2, 4-device meshes (and the 8-dev
+    # case above): reduction order is the global tree, not the mesh
+    leaves = rand_digits(rng, 64)
+    roots = [
+        np.asarray(dist.merkle_root_sharded(leaves, dist.make_mesh(n)))
+        for n in (1, 2, 4)
+    ]
+    assert all(np.array_equal(roots[0], r) for r in roots[1:])
+    assert np.array_equal(
+        roots[0], np.asarray(merkle.merkle_root(leaves))
+    )
+
+
+def test_merkle_sharded_padding_non_pow4(rng, mesh8):
+    # 100 leaves -> padded to 256 globally; divisibility by 8 holds
+    leaves = rand_digits(rng, 100)
+    root_sharded = dist.merkle_root_sharded(leaves, mesh8)
+    root_single = merkle.merkle_root(leaves)
+    assert np.array_equal(np.asarray(root_sharded), np.asarray(root_single))
+
+
+def test_batch_divisibility_validation(rng, mesh8):
+    x = jnp.zeros((10, 5, 16), jnp.uint32)
+    with pytest.raises(ValueError):
+        dist.permute_sharded(x, mesh8)

@@ -1,0 +1,141 @@
+"""Sponge and Merkle driver tests vs a plain-Python big-int oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hades252_tpu import params
+from hades252_tpu.models import merkle, sponge
+from hades252_tpu.ops import make_perm_mont_fn
+from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+
+P = params.P
+
+
+# --- independent Python oracle (plain ints, no library field code) ---------
+
+
+def _oracle_perm(state):
+    ark = params.round_constants_int()
+    mds = params.mds_matrix_int()
+    s = list(state)
+    ci = 0
+    for r in range(67):
+        s = [(w + ark[ci + k]) % P for k, w in enumerate(s)]
+        ci += 5
+        if r < 4 or r >= 63:
+            s = [pow(w, 5, P) for w in s]
+        else:
+            s[4] = pow(s[4], 5, P)
+        s = [sum(mds[k][j] * s[j] for j in range(5)) % P for k in range(5)]
+    return s
+
+
+def _oracle_sponge(words):
+    length = len(words)
+    padded = list(words) + [0] * ((-length) % 4)
+    state = [length, 0, 0, 0, 0]
+    for c in range(0, len(padded), 4):
+        for i in range(4):
+            state[1 + i] = (state[1 + i] + padded[c + i]) % P
+        state = _oracle_perm(state)
+    return state[1]
+
+
+def _oracle_merkle(leaves):
+    n = 1
+    while n < len(leaves):
+        n *= 4
+    level = list(leaves) + [0] * (n - len(leaves))
+    while len(level) > 1:
+        level = [
+            _oracle_perm([4] + level[i : i + 4])[1]
+            for i in range(0, len(level), 4)
+        ]
+    return level[0]
+
+
+# --- tests ------------------------------------------------------------------
+
+
+def test_sponge_matches_oracle(rng):
+    words = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(7)]
+    got = sponge.sponge_hash_ints(words)
+    assert got == _oracle_sponge(words)
+
+
+def test_sponge_batched_and_rate_boundary(rng):
+    # L=4 (exactly one chunk) and L=8 (two chunks), batch of 3
+    for L in (4, 8):
+        msgs = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(L)]
+                for _ in range(3)]
+        out = sponge.sponge_hash(jnp.asarray(ints_to_digits(msgs, shape=(3, L))))
+        for b in range(3):
+            assert int(digits_to_ints(np.asarray(out[b]))) == _oracle_sponge(msgs[b])
+
+
+def test_sponge_length_domain_separation():
+    # same words, different declared length (zero-padding vs real zeros)
+    a = sponge.sponge_hash_ints([7, 8, 9])
+    b = sponge.sponge_hash_ints([7, 8, 9, 0])
+    assert a != b
+
+
+def test_sponge_pallas_backend_matches(rng):
+    words = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]]
+    msgs = jnp.asarray(ints_to_digits(words, shape=(1, 5)))
+    ref = sponge.sponge_hash(msgs)
+    fast = sponge.sponge_hash(
+        msgs, make_perm_mont_fn("pallas", block=128, interpret=True)
+    )
+    assert np.array_equal(np.asarray(ref), np.asarray(fast))
+
+
+def test_merkle_root_matches_oracle(rng):
+    leaves_int = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
+    leaves = jnp.asarray(ints_to_digits(leaves_int, shape=(16,)))
+    root = merkle.merkle_root(leaves)
+    assert int(digits_to_ints(np.asarray(root))) == _oracle_merkle(leaves_int)
+
+
+def test_merkle_non_pow4_padding(rng):
+    leaves_int = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(6)]
+    leaves = jnp.asarray(ints_to_digits(leaves_int, shape=(6,)))
+    root = merkle.merkle_root(leaves)
+    assert int(digits_to_ints(np.asarray(root))) == _oracle_merkle(leaves_int)
+
+
+def test_merkle_single_leaf():
+    leaves = jnp.asarray(ints_to_digits([42], shape=(1,)))
+    root = merkle.merkle_root(leaves)
+    assert int(digits_to_ints(np.asarray(root))) == 42
+
+
+def test_merkle_open_verify(rng):
+    leaves_int = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
+    leaves = jnp.asarray(ints_to_digits(leaves_int, shape=(16,)))
+    levels = merkle.merkle_levels(leaves)
+    root = merkle.merkle_root(leaves)
+    path = merkle.merkle_open(levels, 5)
+    leaf5 = ints_to_digits([leaves_int[5]])[0]
+    assert merkle.merkle_verify(root, leaf5, path)
+    # wrong leaf fails
+    bad = ints_to_digits([(leaves_int[5] + 1) % P])[0]
+    assert not merkle.merkle_verify(root, bad, path)
+
+
+def test_merkle_pallas_backend_matches(rng):
+    leaves_int = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
+    leaves = jnp.asarray(ints_to_digits(leaves_int, shape=(16,)))
+    ref = merkle.merkle_root(leaves)
+    fast = merkle.merkle_root(
+        leaves, make_perm_mont_fn("pallas", block=128, interpret=True)
+    )
+    assert np.array_equal(np.asarray(ref), np.asarray(fast))
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        sponge.sponge_hash(jnp.zeros((3, 16), jnp.uint32))
+    with pytest.raises(ValueError):
+        merkle.merkle_root(jnp.zeros((4, 4, 16), jnp.uint32))

@@ -1,0 +1,57 @@
+"""Cross-backend equivalence: fused Pallas kernel vs pure-JAX oracle.
+
+The TPU analogue of the reference's scalar<->gadget consistency oracle
+(SURVEY.md §4 test plan item c). Runs in Pallas interpret mode on the CPU
+backend; the same kernel compiles for real TPU (exercised by bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hades252_tpu import permute
+from hades252_tpu.ops.perm_pallas import permute_pallas
+from hades252_tpu.params import P
+from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+from tests.test_perm_ref import KATS
+
+
+def rand_states(rng, n):
+    vals = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+            for _ in range(n)]
+    return ints_to_digits(vals, shape=(n, 5))
+
+
+def test_kats_through_kernel():
+    inputs = np.stack([ints_to_digits(list(k)) for k in KATS])
+    out = np.asarray(permute_pallas(jnp.asarray(inputs), interpret=True))
+    for i, expected in enumerate(KATS.values()):
+        assert list(digits_to_ints(out[i])) == expected
+
+
+def test_matches_oracle_random_batch(rng):
+    # one 128-lane tile: interpret mode runs the full 67-round kernel in
+    # Python, so keep the batch at a single tile
+    x = rand_states(rng, 128)
+    ref = np.asarray(permute(jnp.asarray(x)))
+    fast = np.asarray(permute_pallas(jnp.asarray(x), block=128, interpret=True))
+    assert np.array_equal(ref, fast)
+
+
+def test_non_multiple_batch_padding(rng):
+    x = rand_states(rng, 5)
+    ref = np.asarray(permute(jnp.asarray(x)))
+    fast = np.asarray(permute_pallas(jnp.asarray(x), interpret=True))
+    assert np.array_equal(ref, fast)
+
+
+def test_edge_words_through_kernel():
+    rows = [[0, 1, P - 1, P - 2, 0], [P - 1] * 5, [0] * 5]
+    x = ints_to_digits(rows, shape=(3, 5))
+    ref = np.asarray(permute(jnp.asarray(x)))
+    fast = np.asarray(permute_pallas(jnp.asarray(x), interpret=True))
+    assert np.array_equal(ref, fast)
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        permute_pallas(jnp.zeros((4, 16), jnp.uint32), interpret=True)
