@@ -19,6 +19,7 @@ from .params import (  # noqa: F401
     TOTAL_FULL_ROUNDS,
     WIDTH,
 )
+from .gadget import Composer, Constraint, GadgetStrategy, Witness  # noqa: F401
 from .ops.perm_ref import permute, permute_mont  # noqa: F401
 from .strategy import ScalarStrategy, Strategy  # noqa: F401
 
