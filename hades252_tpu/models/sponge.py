@@ -38,7 +38,8 @@ def _iv_digits(length: int):
     return ints_to_digits([length])[0]  # (N_DIGITS,)
 
 
-def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None) -> jnp.ndarray:
+def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None, *, scan: bool = True
+                ) -> jnp.ndarray:
     """Hash B fixed-length messages of L field elements each.
 
     msgs: (B, L, N_DIGITS) uint32 canonical digits.
@@ -46,6 +47,9 @@ def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None) -> jnp.ndarray:
 
     perm_mont_fn: batched Montgomery-domain permutation
     (B, WIDTH, N_DIGITS) -> same; defaults to the pure-JAX oracle.
+    scan=False absorbs with a plain Python loop instead of lax.scan — for
+    permutation backends that can't run under a trace (the numpy-emulated
+    kernel used by CPU tests).
     """
     if perm_mont_fn is None:
         from ..ops import permute_mont as perm_mont_fn
@@ -75,7 +79,12 @@ def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None) -> jnp.ndarray:
         state = jnp.concatenate([state[:, :1, :], fed], axis=1)
         return perm_mont_fn(state), None
 
-    state, _ = jax.lax.scan(absorb, state, chunks)
+    if scan:
+        state, _ = jax.lax.scan(absorb, state, chunks)
+    else:
+        for c in range(n_chunks):
+            state, _ = absorb(state, chunks[c])
+        state = jnp.asarray(state)
     return field.from_mont(state[:, DIGEST_INDEX, :])
 
 

@@ -12,11 +12,13 @@ from .perm_ref import permute, permute_mont  # noqa: F401
 
 
 def make_perm_mont_fn(backend: str = "ref", *, block: int = 1024,
-                      interpret: bool = False):
+                      interpret: bool = False, emulate: bool = False):
     """Return a Montgomery-domain batched permutation callable.
 
     backend "ref": pure-JAX oracle (runs on any platform).
-    backend "pallas": fused TPU kernel (interpret=True for CPU testing).
+    backend "pallas": fused TPU kernel (emulate=True runs the kernel body as
+    a plain XLA function for CPU testing; interpret=True is Mosaic interpret
+    mode, too slow for CI).
     """
     if backend == "ref":
         return permute_mont
@@ -24,7 +26,8 @@ def make_perm_mont_fn(backend: str = "ref", *, block: int = 1024,
         from .perm_pallas import permute_pallas_mont
 
         def fn(x):
-            return permute_pallas_mont(x, block=block, interpret=interpret)
+            return permute_pallas_mont(x, block=block, interpret=interpret,
+                                       emulate=emulate)
 
         return fn
     raise ValueError(f"unknown backend: {backend}")

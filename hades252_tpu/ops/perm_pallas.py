@@ -50,6 +50,25 @@ _D = N_DIGITS
 # Default lane-axis tile: 8 sublane-groups x 128 lanes.
 DEFAULT_BLOCK = 1024
 
+# Emulation toggle: when True the kernel body runs eagerly on NUMPY arrays
+# (identical uint32 wrap-around semantics, zero XLA compile) — the CPU test
+# path. When False (default) the body is traced by Pallas for Mosaic.
+_EMULATE = False
+
+
+def _xp():
+    """Array namespace for the kernel body: jnp (traced) or numpy (emulated)."""
+    return np if _EMULATE else jnp
+
+
+def _fori(lo, hi, body, st):
+    """lax.fori_loop when traced; a plain Python loop under emulation."""
+    if _EMULATE:
+        for r in range(lo, hi):
+            st = body(r, st)
+        return st
+    return jax.lax.fori_loop(lo, hi, body, st)
+
 
 # ---------------------------------------------------------------------------
 # Digit-major field arithmetic (arrays are (n_digits, B); axis 0 = digits).
@@ -61,12 +80,12 @@ DEFAULT_BLOCK = 1024
 def _carry(acc):
     """Normalize column sums to 16-bit digits; final carry must be 0."""
     rows = []
-    carry = jnp.zeros_like(acc[0:1])
+    carry = _xp().zeros_like(acc[0:1])
     for d in range(acc.shape[0]):
         t = acc[d : d + 1] + carry
         rows.append(t & _MASK)
         carry = t >> _SH
-    return jnp.concatenate(rows, axis=0)
+    return _xp().concatenate(rows, axis=0)
 
 
 def _slice_add(acc, start, vals):
@@ -81,7 +100,7 @@ def _slice_add(acc, start, vals):
         pieces.append(acc[stop:])
     if len(pieces) == 1:
         return pieces[0]
-    return jnp.concatenate(pieces, axis=0)
+    return _xp().concatenate(pieces, axis=0)
 
 
 def _mul(a, b, n_out):
@@ -90,8 +109,9 @@ def _mul(a, b, n_out):
     a, b: (D, 1) or (D, B) in any combination. n_out = 2D for the full
     512-bit product, D for a mod-2^256 low product.
     """
-    bshape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    acc = jnp.zeros((n_out,) + bshape, jnp.uint32)
+    xp = _xp()
+    bshape = xp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    acc = xp.zeros((n_out,) + bshape, xp.uint32)
     for i in range(_D):
         prod = a[i : i + 1] * b  # (D, B), exact in uint32
         lo = prod & _MASK
@@ -113,29 +133,29 @@ def _add_wide(a, b):
 def _sub_borrow(a, b):
     """a - b with borrow chain: returns (borrow (1,B), digits)."""
     rows = []
-    borrow = jnp.zeros_like(a[0:1])
+    borrow = _xp().zeros_like(a[0:1])
     for d in range(a.shape[0]):
         t = a[d : d + 1] - b[d : d + 1] - borrow  # wraps mod 2^32
         rows.append(t & _MASK)
         borrow = t >> np.uint32(31)
-    return borrow, jnp.concatenate(rows, axis=0)
+    return borrow, _xp().concatenate(rows, axis=0)
 
 
 def _cond_sub_p(a, p):
     """Reduce [0, 2p) -> [0, p)."""
-    borrow, diff = _sub_borrow(a, jnp.broadcast_to(p, a.shape))
-    return jnp.where(borrow == 0, diff, a)
+    borrow, diff = _sub_borrow(a, _xp().broadcast_to(p, a.shape))
+    return _xp().where(borrow == 0, diff, a)
 
 
 def _add_mod(a, b, p):
-    return _cond_sub_p(_add_wide(a, jnp.broadcast_to(b, a.shape)), p)
+    return _cond_sub_p(_add_wide(a, _xp().broadcast_to(b, a.shape)), p)
 
 
 def _mont_mul(a, b, p, pp):
     """Montgomery product a*b*R^{-1} mod p, digit-major (see field.mont_mul)."""
     t = _mul(a, b, 2 * _D)
     m = _mul(t[:_D], pp, _D)
-    mp = _mul(m, jnp.broadcast_to(p, m.shape), 2 * _D)
+    mp = _mul(m, _xp().broadcast_to(p, m.shape), 2 * _D)
     s = _add_wide(t, mp)  # T + m*p < 2Rp < 2^512
     return _cond_sub_p(s[_D:], p)
 
@@ -203,13 +223,60 @@ def _perm_kernel(ark_ref, mds_ref, fc_ref, in_ref, out_ref, *, convert: bool):
         return tuple(round_fn(r, list(st), full=False))
 
     st = tuple(state)
-    st = jax.lax.fori_loop(0, half, full_body, st)
-    st = jax.lax.fori_loop(half, half + PARTIAL_ROUNDS, partial_body, st)
-    st = jax.lax.fori_loop(half + PARTIAL_ROUNDS, ROUNDS, full_body, st)
+    st = _fori(0, half, full_body, st)
+    st = _fori(half, half + PARTIAL_ROUNDS, partial_body, st)
+    st = _fori(half + PARTIAL_ROUNDS, ROUNDS, full_body, st)
 
     # Store (converting out of the Montgomery domain if we converted in)
     for w in range(WIDTH):
         out_ref[w] = _mont_mul(st[w], one, p, pp) if convert else st[w]
+
+
+class _HostRef:
+    """Minimal pl.Ref stand-in so the kernel body can run as a plain traced
+    function (see permute_planar_emulated)."""
+
+    def __init__(self, arr=None):
+        self.arr = arr
+        self.writes = {}
+
+    def __getitem__(self, idx):
+        if self.arr is None:
+            return self.writes[idx]
+        return self.arr[idx]
+
+    def __setitem__(self, idx, val):
+        self.writes[idx] = val
+
+
+def permute_planar_emulated(x, *, convert: bool = True):
+    """Run the EXACT kernel body (_perm_kernel) eagerly on numpy arrays.
+
+    Mosaic interpret mode executes this kernel orders of magnitude too
+    slowly for CI (minutes per tile), and XLA:CPU takes minutes to compile
+    the unrolled round bodies — so CPU tests validate the kernel's math (the
+    digit-major field arithmetic and the full 67-round schedule, the same
+    code object the TPU runs) on numpy, whose uint32 wrap-around semantics
+    match XLA's exactly. The Mosaic lowering itself is exercised on real TPU
+    by bench.py and the driver's entry() compile check.
+    """
+    global _EMULATE
+    x = np.asarray(x)
+    if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != np.uint32:
+        raise ValueError(
+            f"expected ({WIDTH}, {N_DIGITS}, B) uint32, got {x.shape} {x.dtype}"
+        )
+    ark, mds, fc = _const_arrays()
+    out = _HostRef()
+    _EMULATE = True
+    try:
+        _perm_kernel(
+            _HostRef(ark), _HostRef(mds), _HostRef(fc), _HostRef(x), out,
+            convert=convert,
+        )
+    finally:
+        _EMULATE = False
+    return np.stack([out[w] for w in range(WIDTH)])
 
 
 @functools.cache
@@ -261,23 +328,28 @@ def permute_planar(
     )(ark, mds, fc, x)
 
 
-def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False):
+def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
+                   emulate: bool = False):
     """Fused-kernel permutation on batch-major canonical state.
 
     Drop-in fast path for ops/perm_ref.permute: x is (B, WIDTH, N_DIGITS)
     uint32 canonical digits (B >= 1, any size; padded to the tile width
-    internally). Bit-exact with the oracle.
+    internally). Bit-exact with the oracle. emulate=True runs the kernel
+    body as a plain XLA function (CPU testing; see permute_planar_emulated).
     """
-    return _batch_major(x, block=block, interpret=interpret, convert=True)
+    return _batch_major(x, block=block, interpret=interpret, convert=True,
+                        emulate=emulate)
 
 
-def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False):
+def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
+                        emulate: bool = False):
     """Like permute_pallas but on Montgomery-domain state (no conversions);
     the building block for sponge/Merkle pipelines that chain permutations."""
-    return _batch_major(x, block=block, interpret=interpret, convert=False)
+    return _batch_major(x, block=block, interpret=interpret, convert=False,
+                        emulate=emulate)
 
 
-def _batch_major(x, *, block, interpret, convert):
+def _batch_major(x, *, block, interpret, convert, emulate=False):
     x = jnp.asarray(x)
     if x.ndim != 3 or x.shape[1:] != (WIDTH, N_DIGITS):
         raise ValueError(f"expected (B, {WIDTH}, {N_DIGITS}), got {x.shape}")
@@ -286,5 +358,9 @@ def _batch_major(x, *, block, interpret, convert):
     pad = (-b) % blk
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
     planar = jnp.transpose(xp, (1, 2, 0))
-    out = permute_planar(planar, block=blk, interpret=interpret, convert=convert)
+    if emulate:
+        out = permute_planar_emulated(planar, convert=convert)
+    else:
+        out = permute_planar(planar, block=blk, interpret=interpret,
+                             convert=convert)
     return jnp.transpose(out, (2, 0, 1))[:b]

@@ -86,7 +86,7 @@ def test_sponge_pallas_backend_matches(rng):
     msgs = jnp.asarray(ints_to_digits(words, shape=(1, 5)))
     ref = sponge.sponge_hash(msgs)
     fast = sponge.sponge_hash(
-        msgs, make_perm_mont_fn("pallas", block=128, interpret=True)
+        msgs, make_perm_mont_fn("pallas", block=128, emulate=True), scan=False
     )
     assert np.array_equal(np.asarray(ref), np.asarray(fast))
 
@@ -129,7 +129,7 @@ def test_merkle_pallas_backend_matches(rng):
     leaves = jnp.asarray(ints_to_digits(leaves_int, shape=(16,)))
     ref = merkle.merkle_root(leaves)
     fast = merkle.merkle_root(
-        leaves, make_perm_mont_fn("pallas", block=128, interpret=True)
+        leaves, make_perm_mont_fn("pallas", block=128, emulate=True)
     )
     assert np.array_equal(np.asarray(ref), np.asarray(fast))
 
