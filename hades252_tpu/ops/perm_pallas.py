@@ -103,15 +103,18 @@ def _slice_add(acc, start, vals):
     return _xp().concatenate(pieces, axis=0)
 
 
-def _mul(a, b, n_out):
-    """Schoolbook product of digit-major values, normalized to n_out digits.
+def _mul_cols(a, b, n_out, acc=None):
+    """Un-carried schoolbook columns of a*b, added into acc (fresh if None).
 
-    a, b: (D, 1) or (D, B) in any combination. n_out = 2D for the full
-    512-bit product, D for a mod-2^256 low product.
+    a, b: (D, 1) or (D, B) in any combination. Per product, each column
+    receives <= 32 split halves < 2^16, so one product contributes < 2^21
+    per column; up to 5 products may be accumulated (< 2^24) before a carry
+    pass — the lazy-reduction seam used by the MDS/dot layers.
     """
     xp = _xp()
-    bshape = xp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    acc = xp.zeros((n_out,) + bshape, xp.uint32)
+    if acc is None:
+        bshape = xp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        acc = xp.zeros((n_out,) + bshape, xp.uint32)
     for i in range(_D):
         prod = a[i : i + 1] * b  # (D, B), exact in uint32
         lo = prod & _MASK
@@ -122,7 +125,32 @@ def _mul(a, b, n_out):
         w_hi = min(_D, n_out - i - 1)
         if w_hi > 0:
             acc = _slice_add(acc, i + 1, hi[:w_hi])
-    return _carry(acc)
+    return acc
+
+
+def _sqr_cols(a):
+    """Un-carried columns of a*a, symmetric schoolbook: each off-diagonal
+    product a_i*a_j (i<j) is computed once and its split halves doubled
+    (halves < 2^16 so doubles < 2^17; column sums < 2^22). 136 digit
+    products instead of 256."""
+    xp = _xp()
+    acc = xp.zeros((2 * _D,) + a.shape[1:], xp.uint32)
+    for i in range(_D):
+        diag = a[i : i + 1] * a[i : i + 1]
+        acc = _slice_add(acc, 2 * i, diag & _MASK)
+        acc = _slice_add(acc, 2 * i + 1, diag >> _SH)
+        if i + 1 < _D:
+            prod = a[i : i + 1] * a[i + 1 :]  # rows j = i+1 .. D-1
+            lo = prod & _MASK
+            hi = prod >> _SH
+            acc = _slice_add(acc, 2 * i + 1, lo + lo)
+            acc = _slice_add(acc, 2 * i + 2, hi + hi)
+    return acc
+
+
+def _mul(a, b, n_out):
+    """Schoolbook product of digit-major values, normalized to n_out digits."""
+    return _carry(_mul_cols(a, b, n_out))
 
 
 def _add_wide(a, b):
@@ -151,19 +179,43 @@ def _add_mod(a, b, p):
     return _cond_sub_p(_add_wide(a, _xp().broadcast_to(b, a.shape)), p)
 
 
+def _redc32(cols, p, pp):
+    """REDC of un-carried 32-digit columns, T < Rp: returns T*R^{-1} mod p
+    normalized (< p). m = (T mod R)p' mod R; t = (T + mp)/R < 2p."""
+    t = _carry(cols)
+    m = _mul(t[:_D], pp, _D)
+    s = _carry(_mul_cols(m, _xp().broadcast_to(p, m.shape), 2 * _D, acc=t))
+    return _cond_sub_p(s[_D:], p)
+
+
+def _redc_lazy(cols33, p, pp, p17, twop17):
+    """REDC of an un-carried 33-digit accumulator holding T < 5p^2 (a sum of
+    up to 5 Montgomery products — 5p^2 needs 513 bits, hence the extra
+    digit). t = (T + mp)/R < 5p^2/R + p < 3.3p: two conditional subtracts
+    (2p then p) normalize; the 17th digit is then structurally zero."""
+    t = _carry(cols33)
+    m = _mul(t[:_D], pp, _D)
+    s = _carry(_mul_cols(m, _xp().broadcast_to(p, m.shape), 2 * _D + 1, acc=t))
+    hi = s[_D:]  # 17 digits, value < 3.3p
+    hi = _cond_sub_p(hi, twop17)
+    hi = _cond_sub_p(hi, p17)
+    return hi[:_D]
+
+
 def _mont_mul(a, b, p, pp):
     """Montgomery product a*b*R^{-1} mod p, digit-major (see field.mont_mul)."""
-    t = _mul(a, b, 2 * _D)
-    m = _mul(t[:_D], pp, _D)
-    mp = _mul(m, _xp().broadcast_to(p, m.shape), 2 * _D)
-    s = _add_wide(t, mp)  # T + m*p < 2Rp < 2^512
-    return _cond_sub_p(s[_D:], p)
+    return _redc32(_mul_cols(a, b, 2 * _D), p, pp)
+
+
+def _mont_sqr(x, p, pp):
+    """Montgomery square via the symmetric schoolbook (_sqr_cols)."""
+    return _redc32(_sqr_cols(x), p, pp)
 
 
 def _sbox(x, p, pp):
     """x^5: (x^2)^2 * x (reference: src/strategies/scalar.rs:32-34)."""
-    x2 = _mont_mul(x, x, p, pp)
-    x4 = _mont_mul(x2, x2, p, pp)
+    x2 = _mont_sqr(x, p, pp)
+    x4 = _mont_sqr(x2, p, pp)
     return _mont_mul(x4, x, p, pp)
 
 
@@ -232,6 +284,95 @@ def _perm_kernel(ark_ref, mds_ref, fc_ref, in_ref, out_ref, *, convert: bool):
         out_ref[w] = _mont_mul(st[w], one, p, pp) if convert else st[w]
 
 
+def _perm_kernel_opt(arkfr_ref, mds_ref, fc_ref, u_ref, w_ref, m_ref, d_ref,
+                     c0_ref, fin_ref, in_ref, out_ref, *, convert: bool):
+    """Optimized 67-round permutation on one planar tile.
+
+    Exact same outputs as _perm_kernel (verified against the oracle), with
+    three algebraic/arithmetic optimizations:
+      * sparse-factored partial rounds (params.optimized_partial_int): each
+        of the 59 partial rounds applies a 9-entry sparse matrix instead of
+        the dense 5x5 MDS (9 muls vs 25), with one dense 4x4 fixup (A^59)
+        after the chain;
+      * lazy reduction: MDS rows / sparse dots accumulate up to 5 wide
+        products in a 33-digit column buffer and Montgomery-reduce ONCE
+        (_redc_lazy) — 5 REDCs per mix layer instead of 25;
+      * symmetric squaring for the S-box's x^2 and x^4 (_sqr_cols).
+
+    arkfr_ref: (8, WIDTH, D) full-round ARK (global rounds 0..3, 63..66).
+    u_ref/w_ref: (59, 4, D) sparse column/row entries; m_ref: (1, D).
+    d_ref: (59, WIDTH, D) folded constants (row 58 zero).
+    c0_ref: (WIDTH, D); fin_ref: (4, 4, D) = A^59. All Montgomery form.
+    """
+    xp = _xp()
+    p = fc_ref[0, :][:, None]
+    pp = fc_ref[1, :][:, None]
+    r2 = fc_ref[2, :][:, None]
+    one = fc_ref[3, :][:, None]
+    p17 = xp.concatenate([p, xp.zeros_like(p[0:1])], axis=0)
+    twop17 = _carry(p17 + p17)
+
+    if convert:
+        state = tuple(_mont_mul(in_ref[w], r2, p, pp) for w in range(WIDTH))
+    else:
+        state = tuple(in_ref[w] for w in range(WIDTH))
+
+    def mds_lazy(st):
+        out = []
+        for k in range(WIDTH):
+            acc = None
+            for j in range(WIDTH):
+                acc = _mul_cols(mds_ref[k, j, :][:, None], st[j],
+                                2 * _D + 1, acc)
+            out.append(_redc_lazy(acc, p, pp, p17, twop17))
+        return out
+
+    def full_body(r, st):
+        cs = arkfr_ref[r]  # (WIDTH, D)
+        st = [_add_mod(st[w], cs[w, :][:, None], p) for w in range(WIDTH)]
+        st = [_sbox(w_, p, pp) for w_ in st]
+        return tuple(mds_lazy(st))
+
+    def partial_body(r, st):
+        xs = list(st[:4])
+        x4 = _sbox(st[4], p, pp)
+        uu = u_ref[r]  # (4, D)
+        ww = w_ref[r]
+        dd = d_ref[r]  # (WIDTH, D); zero row for the last round
+        new = [
+            _add_mod(xs[i], _mont_mul(uu[i, :][:, None], x4, p, pp), p)
+            for i in range(4)
+        ]
+        acc = None
+        for j in range(4):
+            acc = _mul_cols(ww[j, :][:, None], xs[j], 2 * _D + 1, acc)
+        acc = _mul_cols(m_ref[0, :][:, None], x4, 2 * _D + 1, acc)
+        n4 = _redc_lazy(acc, p, pp, p17, twop17)
+        out = [_add_mod(new[i], dd[i, :][:, None], p) for i in range(4)]
+        out.append(_add_mod(n4, dd[4, :][:, None], p))
+        return tuple(out)
+
+    half = TOTAL_FULL_ROUNDS // 2
+    st = _fori(0, half, full_body, state)
+    # enter the transformed partial chain: x = s + c0
+    st = tuple(
+        _add_mod(st[w], c0_ref[w, :][:, None], p) for w in range(WIDTH)
+    )
+    st = _fori(0, PARTIAL_ROUNDS, partial_body, st)
+    # leave the chain: words 0..3 <- A^59 @ x[0:4]
+    fin = []
+    for i in range(4):
+        acc = None
+        for j in range(4):
+            acc = _mul_cols(fin_ref[i, j, :][:, None], st[j], 2 * _D + 1, acc)
+        fin.append(_redc_lazy(acc, p, pp, p17, twop17))
+    st = tuple(fin) + (st[4],)
+    st = _fori(half, TOTAL_FULL_ROUNDS, full_body, st)
+
+    for w in range(WIDTH):
+        out_ref[w] = _mont_mul(st[w], one, p, pp) if convert else st[w]
+
+
 class _HostRef:
     """Minimal pl.Ref stand-in so the kernel body can run as a plain traced
     function (see permute_planar_emulated)."""
@@ -249,7 +390,8 @@ class _HostRef:
         self.writes[idx] = val
 
 
-def permute_planar_emulated(x, *, convert: bool = True):
+def permute_planar_emulated(x, *, convert: bool = True,
+                            schedule: str = "opt"):
     """Run the EXACT kernel body (_perm_kernel) eagerly on numpy arrays.
 
     Mosaic interpret mode executes this kernel orders of magnitude too
@@ -266,14 +408,23 @@ def permute_planar_emulated(x, *, convert: bool = True):
         raise ValueError(
             f"expected ({WIDTH}, {N_DIGITS}, B) uint32, got {x.shape} {x.dtype}"
         )
-    ark, mds, fc = _const_arrays()
     out = _HostRef()
     _EMULATE = True
     try:
-        _perm_kernel(
-            _HostRef(ark), _HostRef(mds), _HostRef(fc), _HostRef(x), out,
-            convert=convert,
-        )
+        if schedule == "opt":
+            consts = _const_arrays_opt()
+            _perm_kernel_opt(
+                *[_HostRef(a) for a in consts], _HostRef(x), out,
+                convert=convert,
+            )
+        elif schedule == "naive":
+            ark, mds, fc = _const_arrays()
+            _perm_kernel(
+                _HostRef(ark), _HostRef(mds), _HostRef(fc), _HostRef(x), out,
+                convert=convert,
+            )
+        else:
+            raise ValueError(f"unknown schedule: {schedule}")
     finally:
         _EMULATE = False
     return np.stack([out[w] for w in range(WIDTH)])
@@ -288,9 +439,23 @@ def _const_arrays():
     return c["ark_mont"], c["mds_mont"], fc
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret", "convert"))
+@functools.cache
+def _const_arrays_opt():
+    from ..params import opt_schedule_np
+
+    c = perm_constants_np()
+    o = opt_schedule_np()
+    fc = np.stack([c["p"], c["p_prime"], c["r2"], c["one"]])
+    return (o["ark_fr"], c["mds_mont"], fc, o["u"], o["w"], o["m"], o["d"],
+            o["c0"], o["final"])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "convert", "schedule")
+)
 def permute_planar(
-    x, *, block: int = DEFAULT_BLOCK, interpret: bool = False, convert: bool = True
+    x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
+    convert: bool = True, schedule: str = "opt",
 ):
     """Fused-kernel permutation on planar state.
 
@@ -298,6 +463,9 @@ def permute_planar(
     batch width; multiples of 128 lanes). Returns the same shape/layout.
     convert=True: x is canonical digits. convert=False: x is already in the
     Montgomery domain and stays there (for perm-chaining pipelines).
+    schedule: "opt" (sparse partial rounds + lazy reduction) or "naive"
+    (the direct transcription of the reference round loop); bit-identical
+    outputs, tested against each other and the oracle.
     """
     if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != jnp.uint32:
         raise ValueError(
@@ -306,50 +474,55 @@ def permute_planar(
     b = x.shape[2]
     if b % block != 0:
         raise ValueError(f"batch {b} not a multiple of block {block}")
-    ark, mds, fc = _const_arrays()
     grid = (b // block,)
+
+    def whole(shape):
+        zeros = (0,) * len(shape)
+        return pl.BlockSpec(shape, lambda i: zeros, memory_space=pltpu.VMEM)
+
+    tile = pl.BlockSpec((WIDTH, N_DIGITS, block), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    if schedule == "opt":
+        consts = _const_arrays_opt()
+        kernel = functools.partial(_perm_kernel_opt, convert=convert)
+    elif schedule == "naive":
+        consts = _const_arrays()
+        kernel = functools.partial(_perm_kernel, convert=convert)
+    else:
+        raise ValueError(f"unknown schedule: {schedule}")
     return pl.pallas_call(
-        functools.partial(_perm_kernel, convert=convert),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ROUNDS, WIDTH, N_DIGITS), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WIDTH, WIDTH, N_DIGITS), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, N_DIGITS), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WIDTH, N_DIGITS, block), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((WIDTH, N_DIGITS, block), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
+        in_specs=[whole(c.shape) for c in consts] + [tile],
+        out_specs=tile,
         interpret=interpret,
-    )(ark, mds, fc, x)
+    )(*consts, x)
 
 
 def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                   emulate: bool = False):
+                   emulate: bool = False, schedule: str = "opt"):
     """Fused-kernel permutation on batch-major canonical state.
 
     Drop-in fast path for ops/perm_ref.permute: x is (B, WIDTH, N_DIGITS)
     uint32 canonical digits (B >= 1, any size; padded to the tile width
     internally). Bit-exact with the oracle. emulate=True runs the kernel
-    body as a plain XLA function (CPU testing; see permute_planar_emulated).
+    body eagerly on numpy (CPU testing; see permute_planar_emulated).
     """
     return _batch_major(x, block=block, interpret=interpret, convert=True,
-                        emulate=emulate)
+                        emulate=emulate, schedule=schedule)
 
 
 def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                        emulate: bool = False):
+                        emulate: bool = False, schedule: str = "opt"):
     """Like permute_pallas but on Montgomery-domain state (no conversions);
     the building block for sponge/Merkle pipelines that chain permutations."""
     return _batch_major(x, block=block, interpret=interpret, convert=False,
-                        emulate=emulate)
+                        emulate=emulate, schedule=schedule)
 
 
-def _batch_major(x, *, block, interpret, convert, emulate=False):
+def _batch_major(x, *, block, interpret, convert, emulate=False,
+                 schedule="opt"):
     x = jnp.asarray(x)
     if x.ndim != 3 or x.shape[1:] != (WIDTH, N_DIGITS):
         raise ValueError(f"expected (B, {WIDTH}, {N_DIGITS}), got {x.shape}")
@@ -359,8 +532,9 @@ def _batch_major(x, *, block, interpret, convert, emulate=False):
     xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
     planar = jnp.transpose(xp, (1, 2, 0))
     if emulate:
-        out = permute_planar_emulated(planar, convert=convert)
+        out = permute_planar_emulated(planar, convert=convert,
+                                      schedule=schedule)
     else:
         out = permute_planar(planar, block=blk, interpret=interpret,
-                             convert=convert)
+                             convert=convert, schedule=schedule)
     return jnp.transpose(out, (2, 0, 1))[:b]

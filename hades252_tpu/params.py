@@ -115,6 +115,107 @@ def _to_mont(x: int) -> int:
     return (x * R_MOD_P) % P
 
 
+# ---------------------------------------------------------------------------
+# Sparse-factored partial-round schedule (exact algebraic transform)
+#
+# A partial round is s <- M @ sbox4(s + c) where sbox4 is x^5 on word 4 only
+# (reference: src/strategies.rs:79-93). Split M = D @ S with
+#   D = [[A, 0], [0, 1]]   (A = M[0:4, 0:4]; identity on word 4)
+#   S = [[I, A^-1 v], [w, m]]   (v = M[0:4, 4], w = M[4, 0:4], m = M[4, 4])
+# D commutes with sbox4 (it neither reads nor writes word 4), so with
+# x_r := D^-r @ (s_r + c_r) the 59-round chain becomes
+#   x <- s + c_0
+#   for r in 0..58:  x[4] <- sbox(x[4]);  x <- S_r @ x;  x += D^-(r+1) c_{r+1}
+#   s_out <- D^59 @ x
+# where S_r = D^-r @ S @ D^r = [[I, A^-r u], [w A^r, m]] stays SPARSE
+# (9 non-identity entries): 9 muls per round instead of the dense 25.
+# The values fed to every S-box — and the final output — are bit-identical
+# to the naive schedule (verified in tests against the int oracle).
+# ---------------------------------------------------------------------------
+
+
+def _mat_mul(a, b):
+    n, k, m2 = len(a), len(b), len(b[0])
+    return tuple(
+        tuple(sum(a[i][t] * b[t][j] for t in range(k)) % P for j in range(m2))
+        for i in range(n)
+    )
+
+
+def _mat_vec(a, x):
+    return tuple(sum(a[i][j] * x[j] for j in range(len(x))) % P for i in range(len(a)))
+
+
+def _mat_inv(a):
+    """Gauss-Jordan inverse mod P (exact; raises if singular)."""
+    n = len(a)
+    aug = [[a[i][j] % P for j in range(n)] + [1 if i == j else 0 for j in range(n)]
+           for i in range(n)]
+    for col in range(n):
+        piv = next((r for r in range(col, n) if aug[r][col] != 0), None)
+        if piv is None:
+            raise ValueError("singular matrix")
+        aug[col], aug[piv] = aug[piv], aug[col]
+        inv = pow(aug[col][col], -1, P)
+        aug[col] = [(x * inv) % P for x in aug[col]]
+        for r in range(n):
+            if r != col and aug[r][col]:
+                f = aug[r][col]
+                aug[r] = [(aug[r][j] - f * aug[col][j]) % P for j in range(2 * n)]
+    return tuple(tuple(row[n:]) for row in aug)
+
+
+@functools.cache
+def optimized_partial_int() -> dict:
+    """Exact int-valued constants for the sparse partial-round schedule.
+
+    Keys (all canonical ints mod P):
+      c0:    (WIDTH,) initial additive constants (ARK of the first partial
+             round, global round 4).
+      u:     (PARTIAL_ROUNDS, 4)  S_r top-right column  A^-r @ (A^-1 v).
+      w:     (PARTIAL_ROUNDS, 4)  S_r bottom-left row   w @ A^r.
+      m:     scalar M[4][4] (same for every r).
+      d:     (PARTIAL_ROUNDS - 1, WIDTH) folded constants
+             D^-(r+1) @ c_{r+1}, added after S_r for r < 58.
+      final: (4, 4) the once-per-chain dense matrix A^59.
+    """
+    mds = mds_matrix_int()
+    ark = round_constants_int()
+    half = TOTAL_FULL_ROUNDS // 2
+    # partial-round ARK vectors: global rounds half .. half+PARTIAL_ROUNDS-1
+    cs = [tuple(ark[(half + r) * WIDTH + i] for i in range(WIDTH))
+          for r in range(PARTIAL_ROUNDS)]
+
+    a_hat = tuple(tuple(mds[i][j] for j in range(4)) for i in range(4))
+    v = tuple(mds[i][4] for i in range(4))
+    w = tuple(mds[4][j] for j in range(4))
+    m = mds[4][4]
+    a_inv = _mat_inv(a_hat)
+    u0 = _mat_vec(a_inv, v)
+
+    ident = tuple(tuple(1 if i == j else 0 for j in range(4)) for i in range(4))
+    a_pow = [ident]          # A^r
+    a_inv_pow = [ident]      # A^-r
+    for _ in range(PARTIAL_ROUNDS):
+        a_pow.append(_mat_mul(a_pow[-1], a_hat))
+        a_inv_pow.append(_mat_mul(a_inv_pow[-1], a_inv))
+
+    u = tuple(_mat_vec(a_inv_pow[r], u0) for r in range(PARTIAL_ROUNDS))
+    wr = tuple(_mat_vec(tuple(zip(*a_pow[r])), w) for r in range(PARTIAL_ROUNDS))
+    d = tuple(
+        tuple(_mat_vec(a_inv_pow[r + 1], cs[r + 1][:4])) + (cs[r + 1][4],)
+        for r in range(PARTIAL_ROUNDS - 1)
+    )
+    return {
+        "c0": cs[0],
+        "u": u,
+        "w": wr,
+        "m": m,
+        "d": d,
+        "final": a_pow[PARTIAL_ROUNDS],
+    }
+
+
 @functools.cache
 def perm_constants_np() -> dict[str, np.ndarray]:
     """Numpy limb arrays used by every backend.
@@ -149,4 +250,57 @@ def perm_constants_np() -> dict[str, np.ndarray]:
         "r2": int_to_digits(R2_MOD_P),
         "one": int_to_digits(1),
         "ark_full": ark_full,
+    }
+
+
+@functools.cache
+def opt_schedule_np() -> dict[str, np.ndarray]:
+    """Montgomery-form limb arrays for the sparse partial-round schedule
+    (optimized_partial_int) plus the full-round constants, consumed by the
+    optimized fused kernel (ops/perm_pallas.py).
+
+    Keys:
+      ark_fr:  (TOTAL_FULL_ROUNDS, WIDTH, N_DIGITS) — ARK for the 8 full
+               rounds (global rounds 0..3 and 63..66), Montgomery.
+      c0:      (WIDTH, N_DIGITS) — initial partial-chain constants.
+      u:       (PARTIAL_ROUNDS, 4, N_DIGITS) — sparse column entries.
+      w:       (PARTIAL_ROUNDS, 4, N_DIGITS) — sparse row entries.
+      m:       (1, N_DIGITS) — the (4,4) entry (round-invariant).
+      d:       (PARTIAL_ROUNDS, WIDTH, N_DIGITS) — folded constants; row
+               PARTIAL_ROUNDS-1 is zero (no constant after the last round).
+      final:   (4, 4, N_DIGITS) — the once-per-chain dense matrix A^59.
+    """
+    opt = optimized_partial_int()
+    half = TOTAL_FULL_ROUNDS // 2
+    ark = round_constants_int()
+
+    def mont_digits(x):
+        return int_to_digits(_to_mont(x))
+
+    fr_rounds = list(range(half)) + list(
+        range(half + PARTIAL_ROUNDS, ROUNDS)
+    )
+    ark_fr = np.stack(
+        [
+            np.stack([mont_digits(ark[g * WIDTH + i]) for i in range(WIDTH)])
+            for g in fr_rounds
+        ]
+    )
+    d = np.zeros((PARTIAL_ROUNDS, WIDTH, N_DIGITS), np.uint32)
+    for r, row in enumerate(opt["d"]):
+        d[r] = np.stack([mont_digits(x) for x in row])
+    return {
+        "ark_fr": ark_fr,
+        "c0": np.stack([mont_digits(x) for x in opt["c0"]]),
+        "u": np.stack(
+            [np.stack([mont_digits(x) for x in row]) for row in opt["u"]]
+        ),
+        "w": np.stack(
+            [np.stack([mont_digits(x) for x in row]) for row in opt["w"]]
+        ),
+        "m": mont_digits(opt["m"])[None],
+        "d": d,
+        "final": np.stack(
+            [np.stack([mont_digits(x) for x in row]) for row in opt["final"]]
+        ),
     }
