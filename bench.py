@@ -36,7 +36,7 @@ def main():
         from hades252_tpu.ops.perm_pallas import permute_planar
 
         def f(a):
-            return permute_planar(a, block=1024)
+            return permute_planar(a, block=2048)
     else:
         from hades252_tpu.ops.perm_ref import permute
 

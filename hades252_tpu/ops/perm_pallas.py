@@ -47,8 +47,9 @@ _MASK = np.uint32(DIGIT_MASK)
 _SH = DIGIT_BITS
 _D = N_DIGITS
 
-# Default lane-axis tile: 8 sublane-groups x 128 lanes.
-DEFAULT_BLOCK = 1024
+# Default lane-axis tile: 16 sublane-groups x 128 lanes — the measured
+# throughput knee on v5e; 4096 exceeds the 16MB scoped-VMEM limit.
+DEFAULT_BLOCK = 2048
 
 # Emulation toggle: when True the kernel body runs eagerly on NUMPY arrays
 # (identical uint32 wrap-around semantics, zero XLA compile) — the CPU test
@@ -373,6 +374,165 @@ def _perm_kernel_opt(arkfr_ref, mds_ref, fc_ref, u_ref, w_ref, m_ref, d_ref,
         out_ref[w] = _mont_mul(st[w], one, p, pp) if convert else st[w]
 
 
+# ---------------------------------------------------------------------------
+# MXU schedule: the MDS layer and its Montgomery reduction ride the matrix
+# unit as constant bf16 matmuls (exact: every operand is a byte 0..255 and
+# every f32 accumulation stays < 2^24). The S-box (variable x variable)
+# stays on the VPU. Weights built host-side in params.mxu_weights_np.
+# ---------------------------------------------------------------------------
+
+
+def _f_dtype():
+    """Matmul operand dtype: bf16 on TPU (bytes 0..255 exact), f32 under
+    numpy emulation (numpy has no bfloat16; same exactness bound)."""
+    return np.float32 if _EMULATE else jnp.bfloat16
+
+
+def _dot_u32(w, x):
+    """Exact constant matmul: (M, K) @ (K, B) -> (M, B) uint32.
+
+    All products are <= 255*255 and all column sums < 2^24, so f32
+    accumulation is exact regardless of order."""
+    if _EMULATE:
+        return (w @ x).astype(np.uint32)
+    acc = jax.lax.dot_general(
+        w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # f32 -> i32 -> u32: values are < 2^24 and non-negative, every step exact
+    return acc.astype(jnp.int32).astype(jnp.uint32)
+
+
+def _byte_rows(x16):
+    """(16, B) u32 digit rows -> (32, B) matmul operand rows: low bytes of
+    digits 0..15 then high bytes (the layout of params._byte_pos).
+    Cast goes through int32 (Mosaic has no uint32->bf16 path; values are
+    bytes, so every step is exact)."""
+    xp = _xp()
+    by = xp.concatenate([x16 & np.uint32(0xFF), x16 >> np.uint32(8)], axis=0)
+    return by.astype(xp.int32).astype(_f_dtype())
+
+
+def _recombine16(cols, n16):
+    """Base-256 columns (2*n16 or 2*n16-1 rows, u32 < 2^24) -> n16 un-carried
+    16-bit columns: col[2d] + (col[2d+1] << 8), each < 2^32."""
+    xp = _xp()
+    rows = []
+    for d in range(n16):
+        lo = cols[2 * d : 2 * d + 1]
+        if 2 * d + 1 < cols.shape[0]:
+            rows.append(lo + (cols[2 * d + 1 : 2 * d + 2] << np.uint32(8)))
+        else:
+            rows.append(lo)
+    return xp.concatenate(rows, axis=0)
+
+
+def _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17, *, wide: bool):
+    """Montgomery-reduce n words at once with both constant products
+    (m = T_lo p' mod R, then m p) as one block-diagonal matmul each.
+
+    ts: list of n normalized digit arrays — (33, B) with T < 5p^2 when
+    wide=True (lazy dot accumulations), (32, B) with T < p^2 when wide=False
+    (S-box products). wpp_ref/wp_ref must be the matching n-block weights.
+    wide: t < 3.3p needs two conditional subtracts; otherwise t < 2p, one.
+    """
+    xp = _xp()
+    n = len(ts)
+    m_cols = _dot_u32(
+        wpp_ref[:], xp.concatenate([_byte_rows(t[:_D]) for t in ts], axis=0)
+    )  # (32n, B)
+    ms = [
+        _carry(_recombine16(m_cols[k * 32 : (k + 1) * 32], _D))  # exact mod R
+        for k in range(n)
+    ]
+    mp_cols = _dot_u32(
+        wp_ref[:], xp.concatenate([_byte_rows(m) for m in ms], axis=0)
+    )  # (63n, B)
+    out = []
+    for k in range(n):
+        mp = _recombine16(mp_cols[k * 63 : (k + 1) * 63], 2 * _D)  # 32 rows
+        if wide:
+            zero = xp.zeros_like(mp[0:1])
+            s = _carry(xp.concatenate([mp, zero], axis=0) + ts[k])
+            hi = _cond_sub_p(s[_D:], twop17)  # 17 digits < 3.3p
+            out.append(_cond_sub_p(hi, p17)[:_D])
+        else:
+            s = _carry(mp + ts[k])  # T + m*p < p^2 + Rp < 2^512
+            out.append(_cond_sub_p(s[_D:], p))  # < 2p
+    return out
+
+
+def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
+                     wpp5_ref, wp5_ref, in_ref, out_ref, *, convert: bool):
+    """67-round permutation, naive round structure (reference:
+    src/strategies.rs:140-157) with every constant multiplication on the
+    MXU: the mix layer (wlin), and the two REDC products of every Montgomery
+    reduction (wpp/wp, 5-word block-diagonal variants for full rounds). Only
+    the variable x variable S-box products run VPU schoolbook.
+    Bit-identical outputs to the other schedules (tested)."""
+    xp = _xp()
+    p = fc_ref[0, :][:, None]
+    pp = fc_ref[1, :][:, None]
+    r2 = fc_ref[2, :][:, None]
+    one = fc_ref[3, :][:, None]
+    p17 = xp.concatenate([p, xp.zeros_like(p[0:1])], axis=0)
+    twop17 = _carry(p17 + p17)
+
+    if convert:
+        state = tuple(_mont_mul(in_ref[w], r2, p, pp) for w in range(WIDTH))
+    else:
+        state = tuple(in_ref[w] for w in range(WIDTH))
+
+    def redc_words(ts):
+        if len(ts) == 1:
+            return _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17,
+                                   wide=False)
+        return _redc_words_mxu(ts, wpp5_ref, wp5_ref, p, p17, twop17,
+                               wide=False)
+
+    def sbox_words(ws):
+        """x^5 on each word; squares/products on VPU, reductions on MXU."""
+        x2 = redc_words([_carry(_sqr_cols(w_)) for w_ in ws])
+        x4 = redc_words([_carry(_sqr_cols(w_)) for w_ in x2])
+        return redc_words(
+            [_carry(_mul_cols(a, b, 2 * _D)) for a, b in zip(x4, ws)]
+        )
+
+    def mds_mxu(st):
+        by = xp.concatenate([_byte_rows(w_) for w_ in st], axis=0)  # (160, B)
+        t_cols = _dot_u32(wlin_ref[:], by)                          # (315, B)
+        ts = []
+        for k in range(WIDTH):
+            cols = t_cols[k * 63 : (k + 1) * 63]
+            t16 = _recombine16(cols, 2 * _D)                        # 32 rows
+            zero = xp.zeros_like(t16[0:1])
+            ts.append(_carry(xp.concatenate([t16, zero], axis=0)))  # 33 digits
+        return _redc_words_mxu(ts, wpp5_ref, wp5_ref, p, p17, twop17,
+                               wide=True)
+
+    def round_fn(r, st, full):
+        cs = ark_ref[r]
+        st = [_add_mod(st[w], cs[w, :][:, None], p) for w in range(WIDTH)]
+        if full:
+            st = sbox_words(st)
+        else:
+            st = st[:-1] + sbox_words([st[-1]])
+        return tuple(mds_mxu(st))
+
+    def full_body(r, st):
+        return round_fn(r, list(st), full=True)
+
+    def partial_body(r, st):
+        return round_fn(r, list(st), full=False)
+
+    half = TOTAL_FULL_ROUNDS // 2
+    st = _fori(0, half, full_body, state)
+    st = _fori(half, half + PARTIAL_ROUNDS, partial_body, st)
+    st = _fori(half + PARTIAL_ROUNDS, ROUNDS, full_body, st)
+
+    for w in range(WIDTH):
+        out_ref[w] = _mont_mul(st[w], one, p, pp) if convert else st[w]
+
+
 class _HostRef:
     """Minimal pl.Ref stand-in so the kernel body can run as a plain traced
     function (see permute_planar_emulated)."""
@@ -391,7 +551,7 @@ class _HostRef:
 
 
 def permute_planar_emulated(x, *, convert: bool = True,
-                            schedule: str = "opt"):
+                            schedule: str = "mxu"):
     """Run the EXACT kernel body (_perm_kernel) eagerly on numpy arrays.
 
     Mosaic interpret mode executes this kernel orders of magnitude too
@@ -414,6 +574,12 @@ def permute_planar_emulated(x, *, convert: bool = True,
         if schedule == "opt":
             consts = _const_arrays_opt()
             _perm_kernel_opt(
+                *[_HostRef(a) for a in consts], _HostRef(x), out,
+                convert=convert,
+            )
+        elif schedule == "mxu":
+            consts = _const_arrays_mxu(as_bf16=False)
+            _perm_kernel_mxu(
                 *[_HostRef(a) for a in consts], _HostRef(x), out,
                 convert=convert,
             )
@@ -450,12 +616,29 @@ def _const_arrays_opt():
             o["c0"], o["final"])
 
 
+@functools.cache
+def _const_arrays_mxu(as_bf16: bool):
+    from ..params import mxu_weights_np
+
+    c = perm_constants_np()
+    w = mxu_weights_np()
+    fc = np.stack([c["p"], c["p_prime"], c["r2"], c["one"]])
+    weights = [w["w_lin"], w["w_pp"], w["w_p"], w["w_pp5"], w["w_p5"]]
+    if as_bf16:
+        # numpy-side cast (ml_dtypes ships with jax): the cache must never
+        # hold jax arrays — first population can happen inside a jit trace
+        import ml_dtypes
+
+        weights = [a.astype(ml_dtypes.bfloat16) for a in weights]
+    return (c["ark_mont"], fc, *weights)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block", "interpret", "convert", "schedule")
 )
 def permute_planar(
     x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-    convert: bool = True, schedule: str = "opt",
+    convert: bool = True, schedule: str = "mxu",
 ):
     """Fused-kernel permutation on planar state.
 
@@ -463,7 +646,8 @@ def permute_planar(
     batch width; multiples of 128 lanes). Returns the same shape/layout.
     convert=True: x is canonical digits. convert=False: x is already in the
     Montgomery domain and stays there (for perm-chaining pipelines).
-    schedule: "opt" (sparse partial rounds + lazy reduction) or "naive"
+    schedule: "mxu" (MDS + REDC constant products on the matrix unit),
+    "opt" (VPU-only: sparse partial rounds + lazy reduction), or "naive"
     (the direct transcription of the reference round loop); bit-identical
     outputs, tested against each other and the oracle.
     """
@@ -485,6 +669,9 @@ def permute_planar(
     if schedule == "opt":
         consts = _const_arrays_opt()
         kernel = functools.partial(_perm_kernel_opt, convert=convert)
+    elif schedule == "mxu":
+        consts = _const_arrays_mxu(as_bf16=True)
+        kernel = functools.partial(_perm_kernel_mxu, convert=convert)
     elif schedule == "naive":
         consts = _const_arrays()
         kernel = functools.partial(_perm_kernel, convert=convert)
@@ -501,7 +688,7 @@ def permute_planar(
 
 
 def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                   emulate: bool = False, schedule: str = "opt"):
+                   emulate: bool = False, schedule: str = "mxu"):
     """Fused-kernel permutation on batch-major canonical state.
 
     Drop-in fast path for ops/perm_ref.permute: x is (B, WIDTH, N_DIGITS)
@@ -514,7 +701,7 @@ def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
 
 
 def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                        emulate: bool = False, schedule: str = "opt"):
+                        emulate: bool = False, schedule: str = "mxu"):
     """Like permute_pallas but on Montgomery-domain state (no conversions);
     the building block for sponge/Merkle pipelines that chain permutations."""
     return _batch_major(x, block=block, interpret=interpret, convert=False,
@@ -522,7 +709,7 @@ def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = Fals
 
 
 def _batch_major(x, *, block, interpret, convert, emulate=False,
-                 schedule="opt"):
+                 schedule="mxu"):
     x = jnp.asarray(x)
     if x.ndim != 3 or x.shape[1:] != (WIDTH, N_DIGITS):
         raise ValueError(f"expected (B, {WIDTH}, {N_DIGITS}), got {x.shape}")

@@ -253,6 +253,74 @@ def perm_constants_np() -> dict[str, np.ndarray]:
     }
 
 
+def _byte_pos(r: int) -> int:
+    """Byte position encoded by input row r of the MXU byte layout.
+
+    A 256-bit value enters MXU matmuls as 32 rows: rows 0..15 are the LOW
+    bytes of 16-bit digits 0..15 (byte positions 0,2,..,30), rows 16..31
+    the HIGH bytes (positions 1,3,..,31)."""
+    return 2 * r if r < N_DIGITS else 2 * (r - N_DIGITS) + 1
+
+
+def _value_bytes(x: int) -> list[int]:
+    return list(int(x).to_bytes(32, "little"))
+
+
+def _toeplitz_rows(value: int, n_cols: int) -> np.ndarray:
+    """(n_cols, 32) float32 weight block: W[c, r] = byte_{c - pos(r)} of
+    value, i.e. multiplying the byte-row vector of a variable by this block
+    yields the base-256 columns (un-carried) of value * variable."""
+    vb = _value_bytes(value)
+    w = np.zeros((n_cols, 2 * N_DIGITS), np.float32)
+    for r in range(2 * N_DIGITS):
+        pos = _byte_pos(r)
+        for c in range(n_cols):
+            e = c - pos
+            if 0 <= e < 32:
+                w[c, r] = vb[e]
+    return w
+
+
+@functools.cache
+def mxu_weights_np() -> dict[str, np.ndarray]:
+    """Constant matmul weights for the MXU kernel schedule (float32 host
+    arrays; cast to bfloat16 at kernel build — all entries are bytes 0..255,
+    exact in bf16, and every accumulation stays < 2^24, exact in f32).
+
+    Keys:
+      w_lin: (5*63, 5*32) — the full 5x5 Montgomery-MDS digit convolution:
+             row k*63+c = base-256 column c of word k's pre-reduction value
+             sum_j mds_mont[k][j] * state[j]; column block j*32+r indexes
+             byte-row r of state word j. Max column sum 5*32*255^2 < 2^24.
+      w_pp:  (32, 32) — truncated Toeplitz of P' = -p^-1 mod R: byte rows of
+             T_lo -> base-256 columns of (T_lo * P') mod R (columns >= 32
+             dropped = the mod-R truncation, exact after a carry pass).
+      w_p:   (63, 32) — Toeplitz of p: byte rows of m -> columns of m*p.
+    """
+    mds = mds_matrix_int()
+    w_lin = np.zeros((WIDTH * 63, WIDTH * 2 * N_DIGITS), np.float32)
+    for k in range(WIDTH):
+        for j in range(WIDTH):
+            w_lin[k * 63 : (k + 1) * 63, j * 32 : (j + 1) * 32] = (
+                _toeplitz_rows(_to_mont(mds[k][j]), 63)
+            )
+    w_pp = _toeplitz_rows(P_PRIME, 32)
+    w_p = _toeplitz_rows(P, 63)
+    # block-diagonal x5 variants: one matmul reduces all 5 state words
+    w_pp5 = np.zeros((WIDTH * 32, WIDTH * 32), np.float32)
+    w_p5 = np.zeros((WIDTH * 63, WIDTH * 32), np.float32)
+    for k in range(WIDTH):
+        w_pp5[k * 32 : (k + 1) * 32, k * 32 : (k + 1) * 32] = w_pp
+        w_p5[k * 63 : (k + 1) * 63, k * 32 : (k + 1) * 32] = w_p
+    return {
+        "w_lin": w_lin,
+        "w_pp": w_pp,
+        "w_p": w_p,
+        "w_pp5": w_pp5,
+        "w_p5": w_p5,
+    }
+
+
 @functools.cache
 def opt_schedule_np() -> dict[str, np.ndarray]:
     """Montgomery-form limb arrays for the sparse partial-round schedule

@@ -54,6 +54,19 @@ def test_edge_words_through_kernel():
     assert np.array_equal(ref, fast)
 
 
+def test_naive_schedule_matches_opt(rng):
+    # the naive kernel (direct reference-loop transcription) stays as the
+    # in-kernel oracle for the optimized schedule
+    x = rand_states(rng, 32)
+    a = np.asarray(permute_pallas(jnp.asarray(x), emulate=True, schedule="opt"))
+    b = np.asarray(permute_pallas(jnp.asarray(x), emulate=True, schedule="naive"))
+    assert np.array_equal(a, b)
+
+
 def test_shape_validation():
     with pytest.raises(ValueError):
         permute_pallas(jnp.zeros((4, 16), jnp.uint32), emulate=True)
+    with pytest.raises(ValueError):
+        permute_pallas(
+            jnp.zeros((4, 5, 16), jnp.uint32), emulate=True, schedule="bogus"
+        )
