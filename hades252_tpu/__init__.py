@@ -14,10 +14,12 @@ Public API parity with the reference crate root (reference: src/lib.rs:20-31):
 from .params import (  # noqa: F401
     N_DIGITS,
     P,
+    PARAMS,
     PARTIAL_ROUNDS,
     ROUNDS,
     TOTAL_FULL_ROUNDS,
     WIDTH,
+    HadesParams,
 )
 from .gadget import Composer, Constraint, GadgetStrategy, Witness  # noqa: F401
 from .ops.perm_ref import permute, permute_mont  # noqa: F401

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from .. import field
 from ..params import N_DIGITS, WIDTH
+from ..utils import metrics
 from ..utils.encoding import ints_to_digits
 
 ARITY = 4
@@ -57,6 +58,8 @@ def _level_up(nodes_mont: jnp.ndarray, perm_mont_fn) -> jnp.ndarray:
     children = nodes_mont.reshape(n // ARITY, ARITY, N_DIGITS)
     tag = jnp.broadcast_to(_tag_mont(), (n // ARITY, 1, N_DIGITS))
     states = jnp.concatenate([tag, children], axis=1)  # (N/4, WIDTH, D)
+    metrics.count("merkle.levels", 1)
+    metrics.count("perms.executed", n // ARITY)
     return perm_mont_fn(states)[:, DIGEST_INDEX, :]
 
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from .. import field
 from ..params import N_DIGITS, WIDTH
+from ..utils import metrics
 from ..utils.encoding import ints_to_digits
 
 RATE = WIDTH - 1  # 4
@@ -85,6 +86,9 @@ def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None, *, scan: bool = True
         for c in range(n_chunks):
             state, _ = absorb(state, chunks[c])
         state = jnp.asarray(state)
+    metrics.count("sponge.messages", b)
+    metrics.count("sponge.elements_absorbed", b * length)
+    metrics.count("perms.executed", b * n_chunks)
     return field.from_mont(state[:, DIGEST_INDEX, :])
 
 

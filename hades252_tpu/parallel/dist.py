@@ -30,6 +30,7 @@ from jax import shard_map
 from .. import field
 from ..models.merkle import ARITY, DIGEST_INDEX, _level_up, _pad_to_pow4, tree_levels
 from ..params import N_DIGITS, WIDTH
+from ..utils import metrics
 
 AXIS = "data"
 
@@ -119,4 +120,14 @@ def merkle_root_sharded(leaves: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
         check_vma=False,
     )
     padded = jax.device_put(padded, NamedSharding(mesh, P(AXIS, None)))
-    return jax.jit(fn)(padded)[0]
+    metrics.count("dist.merkle_builds", 1)
+    # bytes each device receives in the one all_gather at height h_local
+    gathered = n // ARITY**h_local
+    metrics.count(
+        "dist.collective_bytes",
+        (gathered - gathered // n_dev) * N_DIGITS * 4,
+    )
+    with metrics.timer("dist.merkle_wall"):
+        out = jax.jit(fn)(padded)
+        out.block_until_ready()
+    return out[0]

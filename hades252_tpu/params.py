@@ -16,6 +16,7 @@ computed here once at import with exact Python big-int arithmetic.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 
@@ -61,6 +62,38 @@ R_MOD_P = R % P
 R2_MOD_P = (R * R) % P
 #: -p^{-1} mod R (full-word Montgomery constant)
 P_PRIME = (-pow(P, -1, R)) % R
+
+
+@dataclasses.dataclass(frozen=True)
+class HadesParams:
+    """The frozen Hades252 parameter set (SURVEY.md §5, config system).
+
+    Mirrors the reference's stance that parameters are compile-time
+    constants, not configuration (reference: src/lib.rs:20-27; width change
+    requires regenerating assets, README.md:30-31): this dataclass is
+    deliberately immutable and has exactly one instance, PARAMS. Runtime
+    knobs (batch, tile/block, mesh shape) live at call sites, never here.
+    """
+
+    width: int = WIDTH
+    total_full_rounds: int = TOTAL_FULL_ROUNDS
+    partial_rounds: int = PARTIAL_ROUNDS
+    modulus: int = P
+    n_round_constants: int = N_ROUND_CONSTANTS
+    digit_bits: int = DIGIT_BITS
+    n_digits: int = N_DIGITS
+
+    @property
+    def rounds(self) -> int:
+        return self.total_full_rounds + self.partial_rounds
+
+    @property
+    def constants_per_perm(self) -> int:
+        return self.rounds * self.width
+
+
+#: The one parameter set this framework implements.
+PARAMS = HadesParams()
 
 
 def int_to_digits(x: int, n: int = N_DIGITS) -> np.ndarray:

