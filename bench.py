@@ -80,5 +80,97 @@ def main():
     return 0
 
 
+def main_merkle():
+    """Secondary benchmark (BASELINE.md config 4): arity-4 Merkle build,
+    2^20 leaves, one chip. Differential timing over tree builds."""
+    import jax
+    import jax.numpy as jnp
+
+    from hades252_tpu import field
+    from hades252_tpu.models.merkle import _level_up, tree_levels
+    from hades252_tpu.ops import default_perm_mont_fn
+
+    n = 1 << 20
+    rng = np.random.default_rng(0)
+    leaves = jnp.asarray(rng.integers(0, 1 << 16, (n, 16), dtype=np.uint32))
+    perm = default_perm_mont_fn()
+
+    @jax.jit
+    def build(lv):
+        lv = field.to_mont(lv)
+        for _ in range(tree_levels(n)):
+            lv = _level_up(lv, perm)
+        return field.from_mont(lv[0])
+
+    def timed(k):
+        outs = [build(leaves) for _ in range(k)]
+        s = sum(jnp.sum(o.astype(jnp.uint32)) for o in outs) if outs else jnp.uint32(0)
+        t0 = time.perf_counter()
+        _ = int(s)
+        return time.perf_counter() - t0
+
+    timed(1)  # compile
+    base = timed(0)
+    total = timed(4)
+    secs = (total - base) / 4
+    print(
+        json.dumps(
+            {
+                "metric": "merkle_arity4_build_2e20_leaves",
+                "value": round(secs, 4),
+                "unit": "sec/tree/chip",
+                "leaves_per_sec": round(n / secs),
+            }
+        )
+    )
+    return 0
+
+
+def main_sponge():
+    """Secondary benchmark (BASELINE.md config 3): rate-4 sponge absorb,
+    2^14 parallel streams x 64 field elements each. Steps are chained (the
+    digest feeds the next batch) so device execution can't hide behind
+    host-side dispatch in the differential timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from hades252_tpu.models.sponge import sponge_hash
+
+    b, length, chain = 1 << 14, 64, 4
+    rng = np.random.default_rng(0)
+    msgs = jnp.asarray(rng.integers(0, 1 << 16, (b, length, 16), dtype=np.uint32))
+
+    @jax.jit
+    def step(m):
+        d = sponge_hash(m)
+        return m.at[:, 0, :].set(d)
+
+    def timed(k):
+        y = msgs
+        for _ in range(k):
+            y = step(y)
+        s = jnp.sum(y[:, 0, :].astype(jnp.uint32))
+        t0 = time.perf_counter()
+        _ = int(s)
+        return time.perf_counter() - t0
+
+    timed(1)
+    base = timed(0)
+    total = timed(chain)
+    secs = (total - base) / chain
+    print(
+        json.dumps(
+            {
+                "metric": "sponge_rate4_absorb_16384x64",
+                "value": round(b * length / secs),
+                "unit": "elements_absorbed/sec/chip",
+                "sec_per_batch": round(secs, 4),
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    mode = sys.argv[1] if len(sys.argv) > 1 else "perm"
+    sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge}[mode]())

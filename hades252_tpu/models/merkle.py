@@ -70,7 +70,9 @@ def merkle_root(leaves: jnp.ndarray, perm_mont_fn=None) -> jnp.ndarray:
     power of 4). Returns (N_DIGITS,) canonical root digits.
     """
     if perm_mont_fn is None:
-        from ..ops import permute_mont as perm_mont_fn
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
     if leaves.ndim != 2 or leaves.shape[-1] != N_DIGITS:
         raise ValueError(f"expected (N, {N_DIGITS}), got {leaves.shape}")
     level = field.to_mont(_pad_to_pow4(leaves))
@@ -83,7 +85,9 @@ def merkle_levels(leaves: jnp.ndarray, perm_mont_fn=None) -> list[jnp.ndarray]:
     """All levels, leaves first (Montgomery domain) — used for proofs and
     for checkpoint/resume of large builds (SURVEY.md §5)."""
     if perm_mont_fn is None:
-        from ..ops import permute_mont as perm_mont_fn
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
     level = field.to_mont(_pad_to_pow4(jnp.asarray(leaves)))
     levels = [level]
     while level.shape[0] > 1:
@@ -117,7 +121,9 @@ def merkle_open(levels: list[jnp.ndarray], index: int):
 def merkle_verify(root, leaf, path, perm_mont_fn=None) -> bool:
     """Check an opening path (host-side; small fixed work)."""
     if perm_mont_fn is None:
-        from ..ops import permute_mont as perm_mont_fn
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
     import numpy as np
 
     node = field.to_mont(jnp.asarray(leaf))

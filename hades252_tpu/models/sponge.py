@@ -47,13 +47,16 @@ def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None, *, scan: bool = True
     Returns (B, N_DIGITS) canonical digest digits.
 
     perm_mont_fn: batched Montgomery-domain permutation
-    (B, WIDTH, N_DIGITS) -> same; defaults to the pure-JAX oracle.
+    (B, WIDTH, N_DIGITS) -> same; defaults to the fused TPU kernel on TPU,
+    the pure-JAX oracle elsewhere (ops.default_perm_mont_fn).
     scan=False absorbs with a plain Python loop instead of lax.scan — for
     permutation backends that can't run under a trace (the numpy-emulated
     kernel used by CPU tests).
     """
     if perm_mont_fn is None:
-        from ..ops import permute_mont as perm_mont_fn
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
     if msgs.ndim != 3 or msgs.shape[-1] != N_DIGITS:
         raise ValueError(f"expected (B, L, {N_DIGITS}), got {msgs.shape}")
     b, length, _ = msgs.shape

@@ -11,6 +11,19 @@ from __future__ import annotations
 from .perm_ref import permute, permute_mont  # noqa: F401
 
 
+def default_perm_mont_fn():
+    """The Montgomery-domain permutation the model drivers should use when
+    none is passed: the fused Pallas kernel on TPU, the pure-JAX oracle
+    elsewhere (bit-identical either way)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .perm_pallas import permute_pallas_mont
+
+        return permute_pallas_mont
+    return permute_mont
+
+
 def make_perm_mont_fn(backend: str = "ref", *, block: int = 1024,
                       interpret: bool = False, emulate: bool = False):
     """Return a Montgomery-domain batched permutation callable.

@@ -47,7 +47,10 @@ def permute_sharded(x: jnp.ndarray, mesh: Mesh, perm_fn=None) -> jnp.ndarray:
     """Batch-sharded permutation: x (B, WIDTH, N_DIGITS) canonical digits,
     B divisible by the mesh size."""
     if perm_fn is None:
-        from ..ops.perm_ref import permute as perm_fn
+        if jax.default_backend() == "tpu":
+            from ..ops.perm_pallas import permute_pallas as perm_fn
+        else:
+            from ..ops.perm_ref import permute as perm_fn
     if x.shape[0] % mesh.shape[AXIS] != 0:
         raise ValueError(
             f"batch {x.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
@@ -65,7 +68,9 @@ def sponge_hash_sharded(msgs: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
     from ..models.sponge import sponge_hash
 
     if perm_mont_fn is None:
-        from ..ops import permute_mont as perm_mont_fn
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
     if msgs.shape[0] % mesh.shape[AXIS] != 0:
         raise ValueError(
             f"batch {msgs.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
@@ -94,7 +99,9 @@ def merkle_root_sharded(leaves: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
     globally, and the padded count must be divisible by the mesh size.
     """
     if perm_mont_fn is None:
-        from ..ops import permute_mont as perm_mont_fn
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
     if leaves.ndim != 2 or leaves.shape[-1] != N_DIGITS:
         raise ValueError(f"expected (N, {N_DIGITS}), got {leaves.shape}")
     n_dev = mesh.shape[AXIS]

@@ -74,7 +74,9 @@ def merkle_root_checkpointed(leaves, d: str, perm_mont_fn=None,
     else recomputes from the passed leaves.
     """
     if perm_mont_fn is None:
-        from ..ops import permute_mont as perm_mont_fn
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
 
     leaves = jnp.asarray(leaves)
     if leaves.ndim != 2 or leaves.shape[-1] != N_DIGITS:
