@@ -1,0 +1,34 @@
+# Developer entry points (the reference ships a Makefile + CI that runs the
+# suite in two feature configurations, reference: Makefile + dusk_ci.yml;
+# our analogue: full suite, kernel-only, and the native baseline).
+
+PYTHON ?= python
+
+.PHONY: test test-kernel test-fast bench bench-merkle bench-sponge native clean doc
+
+test:			## full suite on the 8-device virtual CPU mesh
+	$(PYTHON) -m pytest tests/ -q
+
+test-kernel:		## kernel/backend equivalence tests only
+	$(PYTHON) -m pytest tests/test_perm_pallas.py tests/test_perm_ref.py -q
+
+test-fast:		## everything except the slower sharding tests
+	$(PYTHON) -m pytest tests/ -q --ignore=tests/test_dist.py
+
+bench:			## headline TPU benchmark (one JSON line)
+	$(PYTHON) bench.py
+
+bench-merkle:
+	$(PYTHON) bench.py merkle
+
+bench-sponge:
+	$(PYTHON) bench.py sponge
+
+native:			## build the native CPU baseline library
+	$(MAKE) -C native
+
+doc:			## quick API surface listing
+	$(PYTHON) -c "import hades252_tpu, inspect; print('\n'.join(sorted(n for n in dir(hades252_tpu) if not n.startswith('_'))))"
+
+clean:
+	rm -rf native/libhades_cpu.so **/__pycache__ .pytest_cache

@@ -30,21 +30,12 @@ plus `check_satisfied()` and a columnar export for downstream provers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
-from .params import (
-    CONSTANTS_PER_PERM,
-    P,
-    PARTIAL_ROUNDS,
-    ROUNDS,
-    TOTAL_FULL_ROUNDS,
-    WIDTH,
-    mds_matrix_int,
-    round_constants_int,
-)
+from .params import P, ROUNDS, WIDTH, mds_matrix_int
 
 
 @dataclass(frozen=True)
@@ -200,9 +191,14 @@ class Composer:
         return {"selectors": sel, "wires": wires}
 
 
-class GadgetStrategy:
+from .strategy import Strategy
+
+
+class GadgetStrategy(Strategy):
     """Emits the 67-round permutation as gates on witness wires
-    (reference: src/strategies/gadget.rs:28-133)."""
+    (reference: src/strategies/gadget.rs:28-133). The round schedule comes
+    from the shared Strategy engine (strategy.py) — one schedule, N
+    backends, exactly like the reference trait."""
 
     def __init__(self, composer: Composer):
         self.cs = composer
@@ -220,7 +216,7 @@ class GadgetStrategy:
         # round's linear layer (gadget.rs:44-58)
         if self.count == 0:
             for i, w in enumerate(words):
-                c = next(constants)
+                c = self.next_c(constants)
                 words[i] = self.cs.gate_add(Constraint().left(1).a(w).constant(c))
 
     def quintic_s_box(self, value: Witness) -> Witness:
@@ -233,7 +229,7 @@ class GadgetStrategy:
         self.count += 1
         result = []
         for j in range(WIDTH):
-            c = next(constants) if self.count < ROUNDS else 0
+            c = self.next_c(constants) if self.count < ROUNDS else 0
             r = self.cs.gate_add(
                 Constraint()
                 .left(mds[j][0]).a(values[0])
@@ -250,30 +246,8 @@ class GadgetStrategy:
             result.append(r)
         values[:] = result
 
-    # -- the round schedule (identical to src/strategies.rs:140-157) --------
-
-    def perm(self, words: list[Witness]) -> None:
-        if len(words) != WIDTH:
-            raise ValueError(f"state must have exactly {WIDTH} words")
-        constants = iter(round_constants_int())
-        half = TOTAL_FULL_ROUNDS // 2
-        for _ in range(half):
-            self._full_round(constants, words)
-        for _ in range(PARTIAL_ROUNDS):
-            self._partial_round(constants, words)
-        for _ in range(half):
-            self._full_round(constants, words)
-
-    def _full_round(self, constants, words):
-        self.add_round_key(constants, words)
-        for i in range(WIDTH):
-            words[i] = self.quintic_s_box(words[i])
-        self.mul_matrix(constants, words)
-
-    def _partial_round(self, constants, words):
-        self.add_round_key(constants, words)
-        words[-1] = self.quintic_s_box(words[-1])
-        self.mul_matrix(constants, words)
+    # the round schedule itself (perm / apply_full_round /
+    # apply_partial_round) is inherited from Strategy
 
 
 #: Gates emitted per permutation, including the composer's reserved gate

@@ -35,6 +35,12 @@ def digits_to_ints(digits) -> np.ndarray:
     return out.reshape(lead)
 
 
+def u64_from_buffer(data: bytes, i: int) -> int:
+    """Decode the little-endian u64 at byte offset i (the reference's shared
+    asset-decode helper, src/lib.rs:33-44)."""
+    return int.from_bytes(data[i : i + 8], "little")
+
+
 def scalar_to_bytes(x: int) -> bytes:
     """Canonical 32-byte little-endian encoding (BlsScalar::to_bytes)."""
     if not 0 <= x < P:

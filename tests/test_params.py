@@ -44,6 +44,50 @@ def test_digit_range_validation():
         params.int_to_digits(-1)
 
 
+def test_assets_reproducible_from_recipe():
+    """The vendored binaries must equal an independent regeneration from
+    the documented recipes (reference: assets/HOWTO.md; C7 in SURVEY §2)."""
+    import os
+
+    from hades252_tpu.utils import asset_gen
+
+    d = os.path.join(os.path.dirname(params.__file__), "assets")
+    assert asset_gen.generate_ark() == open(os.path.join(d, "ark.bin"), "rb").read()
+    assert asset_gen.generate_mds() == open(os.path.join(d, "mds.bin"), "rb").read()
+
+
+def test_u64_from_buffer():
+    from hades252_tpu.utils.encoding import u64_from_buffer
+
+    data = (0x0123456789ABCDEF).to_bytes(8, "little") + b"\x01" + b"\x00" * 7
+    assert u64_from_buffer(data, 0) == 0x0123456789ABCDEF
+    assert u64_from_buffer(data, 8) == 1
+
+
+def test_strategy_per_round_api(rng):
+    """The schedule-engine surface (apply_full_round / apply_partial_round /
+    next_c / rounds) matches the trait semantics: a hand-driven schedule
+    equals perm, and exhausting constants raises (strategies.rs:40)."""
+    from hades252_tpu import ScalarStrategy, Strategy
+
+    s = ScalarStrategy()
+    words = [int.from_bytes(rng.bytes(40), "little") % params.P for _ in range(5)]
+    manual = list(words)
+    constants = iter(params.round_constants_int())
+    for _ in range(4):
+        s.apply_full_round(constants, manual)
+    for _ in range(59):
+        s.apply_partial_round(constants, manual)
+    for _ in range(4):
+        s.apply_full_round(constants, manual)
+    via_perm = list(words)
+    out = s.perm(via_perm)  # mutates in place AND returns
+    assert manual == via_perm == out
+    assert Strategy.rounds() == 67
+    with pytest.raises(RuntimeError, match="out of ARK constants"):
+        Strategy.next_c(iter(()))
+
+
 def test_montgomery_constants_consistent():
     c = params.perm_constants_np()
     assert c["ark_mont"].shape == (67, 5, 16)
