@@ -111,8 +111,9 @@ class ScalarStrategy(Strategy):
         schedule engine in exact host arithmetic (the reference shape);
         also returns the list for convenience.
       * `perm(array)` — batched (..., WIDTH, N_DIGITS) uint32 canonical
-        digits through the compiled backend: "ref" (pure-JAX oracle) or
-        "pallas" (fused TPU kernel). Bit-identical to the list path.
+        digits through the compiled backend: "ref" (pure-JAX oracle),
+        "pallas" (fused TPU kernel), or "native" (the C++ host engine,
+        native/hades_cpu.cpp). Bit-identical across backends.
     """
 
     def __init__(self, backend: str = "ref"):
@@ -124,6 +125,16 @@ class ScalarStrategy(Strategy):
             from .ops.perm_pallas import permute_pallas
 
             self._permute = permute_pallas
+        elif backend == "native":
+            from .params import N_DIGITS
+            from .utils import native
+
+            def permute_native(values):
+                arr = np.asarray(values)
+                flat = arr.reshape(-1, WIDTH, N_DIGITS)
+                return native.perm_batch_digits(flat).reshape(arr.shape)
+
+            self._permute = permute_native
         else:
             raise ValueError(f"unknown backend: {backend}")
 

@@ -46,6 +46,19 @@ def _lib() -> ctypes.CDLL:
     lib.hades_perm_batch.argtypes = [ctypes.c_void_p, ctypes.c_long]
     lib.hades_bench.restype = ctypes.c_double
     lib.hades_bench.argtypes = [ctypes.c_long]
+    lib.hades_sponge_hash.restype = ctypes.c_int
+    lib.hades_sponge_hash.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_void_p,
+    ]
+    lib.hades_merkle_root.restype = ctypes.c_int
+    lib.hades_merkle_root.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_void_p,
+    ]
     ark = open(os.path.join(_ASSET_DIR, "ark.bin"), "rb").read()
     mds = open(os.path.join(_ASSET_DIR, "mds.bin"), "rb").read()
     if lib.hades_init(ark, len(ark), mds, len(mds)) != 0:
@@ -76,6 +89,30 @@ def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
     b = digits.shape[0]
     out = perm_batch_bytes(digits_to_bytes(digits), b)
     return bytes_to_digits(out, (b, 5))
+
+
+def sponge_hash_digits(msgs: np.ndarray) -> np.ndarray:
+    """Native rate-4 sponge: (B, L, N_DIGITS) canonical digits -> (B, N_DIGITS).
+    Same spec (and bit-identical digests) as models.sponge.sponge_hash."""
+    from .encoding import bytes_to_digits, digits_to_bytes
+
+    b, length = msgs.shape[0], msgs.shape[1]
+    out = ctypes.create_string_buffer(b * 32)
+    if _lib().hades_sponge_hash(digits_to_bytes(msgs), b, length, out) != 0:
+        raise NativeUnavailable("hades_sponge_hash failed")
+    return bytes_to_digits(out.raw, (b,))
+
+
+def merkle_root_digits(leaves: np.ndarray) -> np.ndarray:
+    """Native arity-4 Merkle root: (N, N_DIGITS) canonical digits ->
+    (N_DIGITS,). Same spec (bit-identical root) as models.merkle.merkle_root."""
+    from .encoding import bytes_to_digits, digits_to_bytes
+
+    n = leaves.shape[0]
+    out = ctypes.create_string_buffer(32)
+    if _lib().hades_merkle_root(digits_to_bytes(leaves), n, out) != 0:
+        raise NativeUnavailable("hades_merkle_root failed")
+    return bytes_to_digits(out.raw, (1,))[0]
 
 
 def bench_perms_per_sec(n: int = 20000) -> float:

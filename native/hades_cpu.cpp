@@ -196,6 +196,68 @@ int hades_perm_batch(uint8_t* states, long n) {
   return 0;
 }
 
+// Rate-4 sponge over the permutation, matching the framework's spec
+// (hades252_tpu/models/sponge.py): capacity word 0 is initialized to the
+// message length L as a field element; each chunk of 4 message words
+// (zero-padded) is added into words 1..4 and the state permuted; the
+// digest is word 1 after the final permutation.
+// msgs: n * L * 32 bytes (canonical LE scalars); out: n * 32 bytes.
+int hades_sponge_hash(const uint8_t* msgs, long n, long L, uint8_t* out) {
+  if (!g_ready || L <= 0) return -1;
+  const long chunks = (L + 3) / 4;
+  for (long b = 0; b < n; ++b) {
+    Fr s[WIDTH] = {};
+    s[0].l[0] = (u64)L;
+    to_mont(s[0]);
+    for (long c = 0; c < chunks; ++c) {
+      for (int i = 0; i < 4; ++i) {
+        const long idx = c * 4 + i;
+        if (idx >= L) break;  // zero padding: adding 0 is a no-op
+        Fr w;
+        decode(w, msgs + 32 * (b * L + idx));
+        to_mont(w);
+        add(s[1 + i], s[1 + i], w);
+      }
+      perm_mont(s);
+    }
+    from_mont(s[1]);
+    std::memcpy(out + 32 * b, s[1].l, 32);
+  }
+  return 0;
+}
+
+// Arity-4 Merkle root, matching hades252_tpu/models/merkle.py:
+// parent = perm([TAG=4, c0, c1, c2, c3])[1]; leaves zero-padded to a power
+// of four. leaves: n * 32 bytes; out: 32 bytes. Scratch is allocated here.
+int hades_merkle_root(const uint8_t* leaves, long n, uint8_t* out) {
+  if (!g_ready || n <= 0) return -1;
+  long full = 1;
+  while (full < n) full *= 4;
+  Fr* level = new Fr[full];
+  for (long i = 0; i < n; ++i) {
+    decode(level[i], leaves + 32 * i);
+    to_mont(level[i]);
+  }
+  for (long i = n; i < full; ++i) level[i] = Fr{{0, 0, 0, 0}};
+  Fr tag = {{4, 0, 0, 0}};
+  to_mont(tag);
+  while (full > 1) {
+    const long parents = full / 4;
+    for (long g = 0; g < parents; ++g) {
+      Fr s[WIDTH];
+      s[0] = tag;
+      for (int i = 0; i < 4; ++i) s[1 + i] = level[g * 4 + i];
+      perm_mont(s);
+      level[g] = s[1];
+    }
+    full = parents;
+  }
+  from_mont(level[0]);
+  std::memcpy(out, level[0].l, 32);
+  delete[] level;
+  return 0;
+}
+
 // Single-thread throughput measurement: permute n dummy states, return
 // permutations per second.
 double hades_bench(long n) {

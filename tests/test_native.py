@@ -1,0 +1,57 @@
+"""Native C++ host engine (native/hades_cpu.cpp) vs the JAX oracles.
+
+The native engine is the framework's CPU execution backend and the
+measured stand-in for the reference implementation's performance class
+(single-threaded 4x u64 Montgomery limbs). Skipped when the toolchain
+can't build it."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hades252_tpu import ScalarStrategy, params
+from hades252_tpu.models import merkle, sponge
+from hades252_tpu.utils import native
+from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+P = params.P
+
+
+def test_native_perm_kats():
+    x = ints_to_digits([[0] * 5, [0, 1, 2, 3, 4]], shape=(2, 5))
+    out = native.perm_batch_digits(x)
+    got = [int(v) for v in digits_to_ints(out[:, 0, :])]
+    assert got[0] == 0x4448679E00A28DD381089245EFAAB4249E99C5825CEEC146D8AAC63A3C3BBC95
+    assert got[1] == 0x4C78FE2E2CDB6E76B43742B08A782A771258F76F57B5FFE586F2391A0363013A
+
+
+def test_native_backend_matches_ref(rng):
+    vals = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+            for _ in range(8)]
+    x = ints_to_digits(vals, shape=(8, 5))
+    ref = np.asarray(ScalarStrategy("ref").perm(jnp.asarray(x)))
+    nat = ScalarStrategy("native").perm(x)
+    assert np.array_equal(ref, np.asarray(nat))
+
+
+def test_native_sponge_matches(rng):
+    words = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(7)]
+    msgs = ints_to_digits([words], shape=(1, 7))
+    d_native = int(digits_to_ints(native.sponge_hash_digits(msgs)[0]))
+    assert d_native == sponge.sponge_hash_ints(words)
+
+
+def test_native_merkle_matches(rng):
+    leaves_int = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
+    leaves = ints_to_digits(leaves_int, shape=(16,))
+    r_native = int(digits_to_ints(native.merkle_root_digits(leaves)))
+    r_jax = int(digits_to_ints(np.asarray(merkle.merkle_root(jnp.asarray(leaves)))))
+    assert r_native == r_jax
+
+
+def test_native_bench_sane():
+    assert native.bench_perms_per_sec(200) > 0
