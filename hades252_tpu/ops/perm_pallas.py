@@ -427,47 +427,47 @@ def _recombine16(cols, n16):
 
 
 def _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17, *, wide: bool):
-    """Montgomery-reduce n words at once with both constant products
-    (m = T_lo p' mod R, then m p) as one block-diagonal matmul each.
+    """Montgomery-reduce n words at once, LANE-PACKED: the words are
+    concatenated along the batch (lane) axis so every serial carry/borrow
+    chain — the latency-bound part of the whole kernel — executes once on
+    (rows, n*B) instead of n times on (rows, B), and the two constant
+    products (m = T_lo p' mod R, then m p) are shared-weight matmuls on the
+    packed operand instead of n-block block-diagonal ones.
 
-    ts: list of n normalized digit arrays — (33, B) with T < 5p^2 when
+    ts: list of n UN-carried column arrays — (33, B) with T < 5p^2 when
     wide=True (lazy dot accumulations), (32, B) with T < p^2 when wide=False
-    (S-box products). wpp_ref/wp_ref must be the matching n-block weights.
+    (S-box products). The input carry-normalization also happens packed —
+    one chain instead of n.
     wide: t < 3.3p needs two conditional subtracts; otherwise t < 2p, one.
     """
     xp = _xp()
     n = len(ts)
-    m_cols = _dot_u32(
-        wpp_ref[:], xp.concatenate([_byte_rows(t[:_D]) for t in ts], axis=0)
-    )  # (32n, B)
-    ms = [
-        _carry(_recombine16(m_cols[k * 32 : (k + 1) * 32], _D))  # exact mod R
-        for k in range(n)
-    ]
-    mp_cols = _dot_u32(
-        wp_ref[:], xp.concatenate([_byte_rows(m) for m in ms], axis=0)
-    )  # (63n, B)
-    out = []
-    for k in range(n):
-        mp = _recombine16(mp_cols[k * 63 : (k + 1) * 63], 2 * _D)  # 32 rows
-        if wide:
-            zero = xp.zeros_like(mp[0:1])
-            s = _carry(xp.concatenate([mp, zero], axis=0) + ts[k])
-            hi = _cond_sub_p(s[_D:], twop17)  # 17 digits < 3.3p
-            out.append(_cond_sub_p(hi, p17)[:_D])
-        else:
-            s = _carry(mp + ts[k])  # T + m*p < p^2 + Rp < 2^512
-            out.append(_cond_sub_p(s[_D:], p))  # < 2p
-    return out
+    b = ts[0].shape[1]
+    tcat = _carry(ts[0] if n == 1 else xp.concatenate(ts, axis=1))
+    m_cols = _dot_u32(wpp_ref[:], _byte_rows(tcat[:_D]))    # (32, nB)
+    m = _carry(_recombine16(m_cols, _D))                    # exact mod R
+    mp_cols = _dot_u32(wp_ref[:], _byte_rows(m))            # (63, nB)
+    mp = _recombine16(mp_cols, 2 * _D)                      # 32 rows
+    if wide:
+        zero = xp.zeros_like(mp[0:1])
+        s = _carry(xp.concatenate([mp, zero], axis=0) + tcat)
+        hi = _cond_sub_p(s[_D:], twop17)  # 17 digits < 3.3p
+        out = _cond_sub_p(hi, p17)[:_D]
+    else:
+        s = _carry(mp + tcat)  # T + m*p < p^2 + Rp < 2^512
+        out = _cond_sub_p(s[_D:], p)  # < 2p
+    if n == 1:
+        return [out]
+    return [out[:, k * b : (k + 1) * b] for k in range(n)]
 
 
 def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
-                     wpp5_ref, wp5_ref, in_ref, out_ref, *, convert: bool):
+                     in_ref, out_ref, *, convert: bool):
     """67-round permutation, naive round structure (reference:
     src/strategies.rs:140-157) with every constant multiplication on the
     MXU: the mix layer (wlin), and the two REDC products of every Montgomery
-    reduction (wpp/wp, 5-word block-diagonal variants for full rounds). Only
-    the variable x variable S-box products run VPU schoolbook.
+    reduction (wpp/wp, applied to the 5 state words lane-packed). Only the
+    variable x variable S-box products run VPU schoolbook.
     Bit-identical outputs to the other schedules (tested)."""
     xp = _xp()
     p = fc_ref[0, :][:, None]
@@ -483,18 +483,15 @@ def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         state = tuple(in_ref[w] for w in range(WIDTH))
 
     def redc_words(ts):
-        if len(ts) == 1:
-            return _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17,
-                                   wide=False)
-        return _redc_words_mxu(ts, wpp5_ref, wp5_ref, p, p17, twop17,
+        return _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17,
                                wide=False)
 
     def sbox_words(ws):
         """x^5 on each word; squares/products on VPU, reductions on MXU."""
-        x2 = redc_words([_carry(_sqr_cols(w_)) for w_ in ws])
-        x4 = redc_words([_carry(_sqr_cols(w_)) for w_ in x2])
+        x2 = redc_words([_sqr_cols(w_) for w_ in ws])
+        x4 = redc_words([_sqr_cols(w_) for w_ in x2])
         return redc_words(
-            [_carry(_mul_cols(a, b, 2 * _D)) for a, b in zip(x4, ws)]
+            [_mul_cols(a, b, 2 * _D) for a, b in zip(x4, ws)]
         )
 
     def mds_mxu(st):
@@ -505,8 +502,8 @@ def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
             cols = t_cols[k * 63 : (k + 1) * 63]
             t16 = _recombine16(cols, 2 * _D)                        # 32 rows
             zero = xp.zeros_like(t16[0:1])
-            ts.append(_carry(xp.concatenate([t16, zero], axis=0)))  # 33 digits
-        return _redc_words_mxu(ts, wpp5_ref, wp5_ref, p, p17, twop17,
+            ts.append(xp.concatenate([t16, zero], axis=0))  # 33 un-carried
+        return _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17,
                                wide=True)
 
     def round_fn(r, st, full):
@@ -623,7 +620,7 @@ def _const_arrays_mxu(as_bf16: bool):
     c = perm_constants_np()
     w = mxu_weights_np()
     fc = np.stack([c["p"], c["p_prime"], c["r2"], c["one"]])
-    weights = [w["w_lin"], w["w_pp"], w["w_p"], w["w_pp5"], w["w_p5"]]
+    weights = [w["w_lin"], w["w_pp"], w["w_p"]]
     if as_bf16:
         # numpy-side cast (ml_dtypes ships with jax): the cache must never
         # hold jax arrays — first population can happen inside a jit trace

@@ -337,20 +337,10 @@ def mxu_weights_np() -> dict[str, np.ndarray]:
             w_lin[k * 63 : (k + 1) * 63, j * 32 : (j + 1) * 32] = (
                 _toeplitz_rows(_to_mont(mds[k][j]), 63)
             )
-    w_pp = _toeplitz_rows(P_PRIME, 32)
-    w_p = _toeplitz_rows(P, 63)
-    # block-diagonal x5 variants: one matmul reduces all 5 state words
-    w_pp5 = np.zeros((WIDTH * 32, WIDTH * 32), np.float32)
-    w_p5 = np.zeros((WIDTH * 63, WIDTH * 32), np.float32)
-    for k in range(WIDTH):
-        w_pp5[k * 32 : (k + 1) * 32, k * 32 : (k + 1) * 32] = w_pp
-        w_p5[k * 63 : (k + 1) * 63, k * 32 : (k + 1) * 32] = w_p
     return {
         "w_lin": w_lin,
-        "w_pp": w_pp,
-        "w_p": w_p,
-        "w_pp5": w_pp5,
-        "w_p5": w_p5,
+        "w_pp": _toeplitz_rows(P_PRIME, 32),
+        "w_p": _toeplitz_rows(P, 63),
     }
 
 
