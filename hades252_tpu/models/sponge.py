@@ -95,6 +95,107 @@ def sponge_hash(msgs: jnp.ndarray, perm_mont_fn=None, *, scan: bool = True
     return field.from_mont(state[:, DIGEST_INDEX, :])
 
 
+class SpongeState:
+    """Incremental rate-4 sponge over batched streams (SURVEY.md §5:
+    long-context scaling = chunked absorption with device-resident state;
+    parallelism across independent streams, the batch axis).
+
+    Equivalent to sponge_hash for the same total input: the capacity word
+    is initialized to the declared total length, chunks absorb into words
+    1..4, and the first squeezed word equals sponge_hash's digest. Squeeze
+    is extendable: each permutation yields RATE output words (our spec,
+    documented here and oracle-tested).
+
+    absorb() accepts any word count; partial chunks are buffered host-side
+    and absorbed once full (or zero-padded at the first squeeze).
+    """
+
+    def __init__(self, n_streams: int, total_length: int, perm_mont_fn=None):
+        if total_length <= 0:
+            raise ValueError("total_length must be positive")
+        if perm_mont_fn is None:
+            from ..ops import default_perm_mont_fn
+
+            perm_mont_fn = default_perm_mont_fn()
+        self._perm = perm_mont_fn
+        self._b = n_streams
+        self._total = total_length
+        self._absorbed = 0
+        self._pending: list[jnp.ndarray] = []  # buffered (B, k, D) mont words
+        self._pending_n = 0
+        self._squeezed: int | None = None
+        iv = field.to_mont(jnp.asarray(_iv_digits(total_length)))
+        state = jnp.zeros((n_streams, WIDTH, N_DIGITS), jnp.uint32)
+        self._state = state.at[:, CAPACITY_INDEX, :].set(
+            jnp.broadcast_to(iv, (n_streams, N_DIGITS))
+        )
+
+    def absorb(self, words: jnp.ndarray) -> "SpongeState":
+        """Feed (B, k, N_DIGITS) canonical digit words, any k >= 1."""
+        if self._squeezed is not None:
+            raise RuntimeError("cannot absorb after squeezing")
+        words = jnp.asarray(words)
+        if words.ndim != 3 or words.shape[0] != self._b or \
+                words.shape[-1] != N_DIGITS:
+            raise ValueError(
+                f"expected ({self._b}, k, {N_DIGITS}), got {words.shape}"
+            )
+        k = words.shape[1]
+        if self._absorbed + k > self._total:
+            raise ValueError("absorbing past the declared total length")
+        self._absorbed += k
+        self._pending.append(field.to_mont(words))
+        self._pending_n += k
+        while self._pending_n >= RATE:
+            buf = jnp.concatenate(self._pending, axis=1)
+            chunk, rest = buf[:, :RATE, :], buf[:, RATE:, :]
+            self._mix(chunk)
+            self._pending = [rest] if rest.shape[1] else []
+            self._pending_n = rest.shape[1]
+        return self
+
+    def _mix(self, chunk_mont: jnp.ndarray) -> None:
+        fed = field.add_mod(self._state[:, 1:, :], chunk_mont)
+        self._state = self._perm(
+            jnp.concatenate([self._state[:, :1, :], fed], axis=1)
+        )
+        metrics.count("perms.executed", self._b)
+
+    def _finalize(self) -> None:
+        if self._absorbed != self._total:
+            raise RuntimeError(
+                f"absorbed {self._absorbed} of declared {self._total} words"
+            )
+        if self._pending_n:
+            buf = jnp.concatenate(self._pending, axis=1)
+            pad = jnp.zeros(
+                (self._b, RATE - self._pending_n, N_DIGITS), jnp.uint32
+            )
+            self._mix(jnp.concatenate([buf, pad], axis=1))
+            self._pending = []
+            self._pending_n = 0
+        self._squeezed = 0
+
+    def squeeze(self, n_words: int = 1) -> jnp.ndarray:
+        """Extract (B, n_words, N_DIGITS) canonical output words; the first
+        equals sponge_hash's digest. Permutes every RATE words."""
+        if self._squeezed is None:
+            self._finalize()
+        out = []
+        for _ in range(n_words):
+            if self._squeezed == RATE:
+                self._state = self._perm(self._state)
+                metrics.count("perms.executed", self._b)
+                self._squeezed = 0
+            out.append(self._state[:, DIGEST_INDEX + self._squeezed, :])
+            self._squeezed += 1
+        return field.from_mont(jnp.stack(out, axis=1))
+
+    def digest(self) -> jnp.ndarray:
+        """(B, N_DIGITS) canonical digest — sponge_hash equivalence."""
+        return self.squeeze(1)[:, 0, :]
+
+
 def sponge_hash_ints(words, perm_mont_fn=None) -> int:
     """Convenience: hash one message given as a list of canonical ints."""
     from ..utils.encoding import digits_to_ints

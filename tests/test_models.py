@@ -91,6 +91,48 @@ def test_sponge_pallas_backend_matches(rng):
     assert np.array_equal(np.asarray(ref), np.asarray(fast))
 
 
+def test_sponge_streaming_matches_oneshot(rng):
+    # absorb in odd chunk sizes (1, 3, 2, 1) == one-shot hash of all 7 words
+    msgs = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(7)]
+            for _ in range(2)]
+    arr = ints_to_digits(msgs, shape=(2, 7))
+    st = sponge.SpongeState(2, 7)
+    st.absorb(jnp.asarray(arr[:, :1]))
+    st.absorb(jnp.asarray(arr[:, 1:4]))
+    st.absorb(jnp.asarray(arr[:, 4:6]))
+    st.absorb(jnp.asarray(arr[:, 6:7]))
+    digest = st.digest()
+    oneshot = sponge.sponge_hash(jnp.asarray(arr))
+    assert np.array_equal(np.asarray(digest), np.asarray(oneshot))
+
+
+def test_sponge_squeeze_extendable(rng):
+    msgs = ints_to_digits([[5, 6, 7, 8]], shape=(1, 4))
+    st = sponge.SpongeState(1, 4).absorb(jnp.asarray(msgs))
+    out = st.squeeze(6)  # crosses a permutation boundary at word 4
+    assert out.shape == (1, 6, 16)
+    # first word == the fixed-length digest; words distinct
+    assert np.array_equal(
+        np.asarray(out[0, 0]),
+        np.asarray(sponge.sponge_hash(jnp.asarray(msgs))[0]),
+    )
+    ints = [int(digits_to_ints(np.asarray(out[0, i]))) for i in range(6)]
+    assert len(set(ints)) == 6
+
+
+def test_sponge_streaming_validation(rng):
+    st = sponge.SpongeState(1, 4)
+    with pytest.raises(ValueError):
+        st.absorb(jnp.zeros((1, 5, 16), jnp.uint32))  # past declared length
+    st.absorb(jnp.zeros((1, 2, 16), jnp.uint32))
+    with pytest.raises(RuntimeError):
+        st.digest()  # under-absorbed
+    st.absorb(jnp.zeros((1, 2, 16), jnp.uint32))
+    st.digest()
+    with pytest.raises(RuntimeError):
+        st.absorb(jnp.zeros((1, 1, 16), jnp.uint32))  # absorb after squeeze
+
+
 def test_merkle_root_matches_oracle(rng):
     leaves_int = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
     leaves = jnp.asarray(ints_to_digits(leaves_int, shape=(16,)))
