@@ -33,7 +33,10 @@ import numpy as np
 
 from .params import DIGIT_BITS, DIGIT_MASK, N_DIGITS, perm_constants_np
 
-_MASK = jnp.uint32(DIGIT_MASK)
+# numpy scalar, not jnp: creating a jax array at import time would
+# initialize the XLA backend and break jax.distributed.initialize for
+# multi-host users who import this package first
+_MASK = np.uint32(DIGIT_MASK)
 _SHIFT = DIGIT_BITS
 
 

@@ -1,0 +1,112 @@
+"""True multi-process (multi-host semantics) test: two OS processes, one
+global JAX runtime over the CPU backend, sharded Merkle build bit-identical
+to the single-process build (SURVEY.md §4 test plan item e — "multi-node
+without a real cluster")."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+import jax
+
+coord, pid, expected_hex = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+# both configs must precede ANY backend touch (importing hades252_tpu
+# creates jax scalars), so set them before the package import
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+# per-PROCESS cache: a shared dir cross-poisons multiprocess runs (an
+# executable cached by one process bakes in its device assignment, so the
+# other process joins collectives with the wrong rank layout and hangs)
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_mh_{pid}")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from hades252_tpu.parallel import multihost
+
+multihost.initialize(coord, num_processes=2, process_id=pid)
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np
+from hades252_tpu.parallel import dist
+from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+import jax.numpy as jnp
+
+mesh = multihost.global_mesh(dist.AXIS)
+leaves = jnp.asarray(ints_to_digits(list(range(16)), shape=(16,)))
+root = dist.merkle_root_sharded(leaves, mesh)
+got = int(digits_to_ints(np.asarray(root)))
+ok = got == int(expected_hex, 16)
+print(f"proc{pid} root_match={ok}", flush=True)
+assert ok, hex(got)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _expected_root_int() -> int:
+    """Host int-oracle arity-4 Merkle root of leaves 0..15 (no compiles)."""
+    from hades252_tpu import params
+
+    ark = params.round_constants_int()
+    mds = params.mds_matrix_int()
+    p = params.P
+
+    def perm(state):
+        s = list(state)
+        for r in range(67):
+            s = [(w + ark[r * 5 + k]) % p for k, w in enumerate(s)]
+            if r < 4 or r >= 63:
+                s = [pow(w, 5, p) for w in s]
+            else:
+                s[4] = pow(s[4], 5, p)
+            s = [sum(mds[k][j] * s[j] for j in range(5)) % p for k in range(5)]
+        return s
+
+    level = list(range(16))
+    while len(level) > 1:
+        level = [perm([4] + level[i : i + 4])[1] for i in range(0, len(level), 4)]
+    return level[0]
+
+
+def test_two_process_merkle_root_matches(tmp_path):
+    coord = f"localhost:{_free_port()}"
+    expected = hex(_expected_root_int())
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(pid), expected],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+        assert f"proc{pid} root_match=True" in out
