@@ -1,7 +1,9 @@
 """True multi-process (multi-host semantics) test: two OS processes, one
 global JAX runtime over the CPU backend, sharded Merkle build bit-identical
-to the single-process build (SURVEY.md §4 test plan item e — "multi-node
-without a real cluster")."""
+to a host int-oracle root (SURVEY.md §4 test plan item e — "multi-node
+without a real cluster"). Sized small (2 devices/process, 16 leaves):
+this CI host has a single CPU core, so three concurrent JAX processes
+contend hard for it."""
 
 import os
 import socket
@@ -18,7 +20,7 @@ coord, pid, expected_hex = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 # both configs must precede ANY backend touch (importing hades252_tpu
 # creates jax scalars), so set them before the package import
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 4)
+jax.config.update("jax_num_cpu_devices", 2)
 # per-PROCESS cache: a shared dir cross-poisons multiprocess runs (an
 # executable cached by one process bakes in its device assignment, so the
 # other process joins collectives with the wrong rank layout and hangs)
@@ -28,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from hades252_tpu.parallel import multihost
 
 multihost.initialize(coord, num_processes=2, process_id=pid)
-assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.devices()) == 4, jax.devices()
 
 import numpy as np
 from hades252_tpu.parallel import dist
@@ -101,7 +103,7 @@ def test_two_process_merkle_root_matches(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
