@@ -4,7 +4,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-kernel test-fast bench bench-merkle bench-sponge native clean doc
+.PHONY: test test-kernel test-fast test-multihost bench bench-merkle bench-sponge native clean doc
 
 test:			## full suite on the 8-device virtual CPU mesh
 	$(PYTHON) -m pytest tests/ -q
@@ -14,6 +14,9 @@ test-kernel:		## kernel/backend equivalence tests only
 
 test-fast:		## everything except the slower sharding tests
 	$(PYTHON) -m pytest tests/ -q --ignore=tests/test_dist.py
+
+test-multihost:		## the real two-process multi-host test (heavy on 1-core hosts)
+	RUN_MULTIHOST=1 $(PYTHON) -m pytest tests/test_multihost.py -q
 
 bench:			## headline TPU benchmark (one JSON line)
 	$(PYTHON) bench.py

@@ -402,14 +402,42 @@ def _dot_u32(w, x):
     return acc.astype(jnp.int32).astype(jnp.uint32)
 
 
-def _byte_rows(x16):
-    """(16, B) u32 digit rows -> (32, B) matmul operand rows: low bytes of
-    digits 0..15 then high bytes (the layout of params._byte_pos).
-    Cast goes through int32 (Mosaic has no uint32->bf16 path; values are
-    bytes, so every step is exact)."""
+def _byte_rows_u32(x16):
+    """(16, B) u32 digit rows -> (32, B) u32 byte rows: low bytes of digits
+    0..15 then high bytes (the layout of params._byte_pos)."""
     xp = _xp()
-    by = xp.concatenate([x16 & np.uint32(0xFF), x16 >> np.uint32(8)], axis=0)
-    return by.astype(xp.int32).astype(_f_dtype())
+    return xp.concatenate([x16 & np.uint32(0xFF), x16 >> np.uint32(8)],
+                          axis=0)
+
+
+def _byte_rows(x16):
+    """Byte rows cast for the bf16 matmul operand. Cast goes through int32
+    (Mosaic has no uint32->bf16 path; values are bytes, exact both ways)."""
+    return _byte_rows_u32(x16).astype(_xp().int32).astype(_f_dtype())
+
+
+def _dot_u32_i8(w_s8, rowsum, xb):
+    """Exact constant matmul on the int8 MXU path.
+
+    w_s8 = W - 128 in int8 (W has byte entries 0..255); rowsum = per-row
+    sums of w_s8 (int32, (M, 1)); xb: (K, B) uint32 byte rows. Identity:
+        W @ x = w_s8 @ (x - 128) + 128*rowsum + 128*colsum(x)
+    (the two 128^2 K terms cancel). |w_s8 @ x_s8| <= 128*128*160 < 2^21 and
+    corrections < 2^23, all exact in int32.
+    """
+    xp = _xp()
+    xb_i32 = xb.astype(xp.int32)  # Mosaic can't reduce unsigned ints
+    colsum = xp.sum(xb_i32, axis=0, keepdims=True)  # (1, B)
+    x_s8 = (xb_i32 - 128).astype(xp.int8)
+    if _EMULATE:
+        acc = w_s8.astype(np.int32) @ x_s8.astype(np.int32)
+    else:
+        acc = jax.lax.dot_general(
+            w_s8, x_s8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    out = acc + 128 * rowsum + 128 * colsum
+    return out.astype(xp.uint32)
 
 
 def _recombine16(cols, n16):
@@ -426,7 +454,7 @@ def _recombine16(cols, n16):
     return xp.concatenate(rows, axis=0)
 
 
-def _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17, *, wide: bool):
+def _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17, *, wide: bool):
     """Montgomery-reduce n words at once, LANE-PACKED: the words are
     concatenated along the batch (lane) axis so every serial carry/borrow
     chain — the latency-bound part of the whole kernel — executes once on
@@ -444,9 +472,9 @@ def _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17, *, wide: bool):
     n = len(ts)
     b = ts[0].shape[1]
     tcat = _carry(ts[0] if n == 1 else xp.concatenate(ts, axis=1))
-    m_cols = _dot_u32(wpp_ref[:], _byte_rows(tcat[:_D]))    # (32, nB)
+    m_cols = dot_pp(_byte_rows_u32(tcat[:_D]))              # (32, nB)
     m = _carry(_recombine16(m_cols, _D))                    # exact mod R
-    mp_cols = _dot_u32(wp_ref[:], _byte_rows(m))            # (63, nB)
+    mp_cols = dot_p(_byte_rows_u32(m))                      # (63, nB)
     mp = _recombine16(mp_cols, 2 * _D)                      # 32 rows
     if wide:
         zero = xp.zeros_like(mp[0:1])
@@ -463,6 +491,32 @@ def _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17, *, wide: bool):
 
 def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
                      in_ref, out_ref, *, convert: bool):
+    """bf16 matmul variant — see _perm_kernel_mxu_impl."""
+
+    def mk(w_ref):
+        return lambda xb: _dot_u32(
+            w_ref[:], xb.astype(_xp().int32).astype(_f_dtype())
+        )
+
+    _perm_kernel_mxu_impl(ark_ref, fc_ref, mk(wlin_ref), mk(wpp_ref),
+                          mk(wp_ref), in_ref, out_ref, convert=convert)
+
+
+def _perm_kernel_mxu8(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
+                      rslin_ref, rspp_ref, rsp_ref, in_ref, out_ref, *,
+                      convert: bool):
+    """int8 matmul variant (offset-encoded, exact) — see _dot_u32_i8."""
+
+    def mk(w_ref, rs_ref):
+        return lambda xb: _dot_u32_i8(w_ref[:], rs_ref[:], xb)
+
+    _perm_kernel_mxu_impl(ark_ref, fc_ref, mk(wlin_ref, rslin_ref),
+                          mk(wpp_ref, rspp_ref), mk(wp_ref, rsp_ref),
+                          in_ref, out_ref, convert=convert)
+
+
+def _perm_kernel_mxu_impl(ark_ref, fc_ref, dot_lin, dot_pp, dot_p,
+                          in_ref, out_ref, *, convert: bool):
     """67-round permutation, naive round structure (reference:
     src/strategies.rs:140-157) with every constant multiplication on the
     MXU: the mix layer (wlin), and the two REDC products of every Montgomery
@@ -483,7 +537,7 @@ def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         state = tuple(in_ref[w] for w in range(WIDTH))
 
     def redc_words(ts):
-        return _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17,
+        return _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17,
                                wide=False)
 
     def sbox_words(ws):
@@ -495,15 +549,15 @@ def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         )
 
     def mds_mxu(st):
-        by = xp.concatenate([_byte_rows(w_) for w_ in st], axis=0)  # (160, B)
-        t_cols = _dot_u32(wlin_ref[:], by)                          # (315, B)
+        by = xp.concatenate([_byte_rows_u32(w_) for w_ in st], axis=0)
+        t_cols = dot_lin(by)                                        # (315, B)
         ts = []
         for k in range(WIDTH):
             cols = t_cols[k * 63 : (k + 1) * 63]
             t16 = _recombine16(cols, 2 * _D)                        # 32 rows
             zero = xp.zeros_like(t16[0:1])
             ts.append(xp.concatenate([t16, zero], axis=0))  # 33 un-carried
-        return _redc_words_mxu(ts, wpp_ref, wp_ref, p, p17, twop17,
+        return _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17,
                                wide=True)
 
     def round_fn(r, st, full):
@@ -548,7 +602,7 @@ class _HostRef:
 
 
 def permute_planar_emulated(x, *, convert: bool = True,
-                            schedule: str = "mxu"):
+                            schedule: str = "mxu8"):
     """Run the EXACT kernel body (_perm_kernel) eagerly on numpy arrays.
 
     Mosaic interpret mode executes this kernel orders of magnitude too
@@ -577,6 +631,12 @@ def permute_planar_emulated(x, *, convert: bool = True,
         elif schedule == "mxu":
             consts = _const_arrays_mxu(as_bf16=False)
             _perm_kernel_mxu(
+                *[_HostRef(a) for a in consts], _HostRef(x), out,
+                convert=convert,
+            )
+        elif schedule == "mxu8":
+            consts = _const_arrays_mxu8()
+            _perm_kernel_mxu8(
                 *[_HostRef(a) for a in consts], _HostRef(x), out,
                 convert=convert,
             )
@@ -614,6 +674,22 @@ def _const_arrays_opt():
 
 
 @functools.cache
+def _const_arrays_mxu8():
+    """int8 offset-encoded weights + int32 row sums (see _dot_u32_i8)."""
+    from ..params import mxu_weights_np
+
+    c = perm_constants_np()
+    w = mxu_weights_np()
+    fc = np.stack([c["p"], c["p_prime"], c["r2"], c["one"]])
+    s8, rs = [], []
+    for key in ("w_lin", "w_pp", "w_p"):
+        ws = (w[key].astype(np.int32) - 128).astype(np.int8)
+        s8.append(ws)
+        rs.append(ws.astype(np.int32).sum(axis=1, keepdims=True))
+    return (c["ark_mont"], fc, *s8, *rs)
+
+
+@functools.cache
 def _const_arrays_mxu(as_bf16: bool):
     from ..params import mxu_weights_np
 
@@ -635,7 +711,7 @@ def _const_arrays_mxu(as_bf16: bool):
 )
 def permute_planar(
     x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-    convert: bool = True, schedule: str = "mxu",
+    convert: bool = True, schedule: str = "mxu8",
 ):
     """Fused-kernel permutation on planar state.
 
@@ -643,10 +719,11 @@ def permute_planar(
     batch width; multiples of 128 lanes). Returns the same shape/layout.
     convert=True: x is canonical digits. convert=False: x is already in the
     Montgomery domain and stays there (for perm-chaining pipelines).
-    schedule: "mxu" (MDS + REDC constant products on the matrix unit),
-    "opt" (VPU-only: sparse partial rounds + lazy reduction), or "naive"
-    (the direct transcription of the reference round loop); bit-identical
-    outputs, tested against each other and the oracle.
+    schedule: "mxu8" (constant products as offset-encoded int8 matmuls,
+    the fastest), "mxu" (same structure, bf16 matmuls), "opt" (VPU-only:
+    sparse partial rounds + lazy reduction), or "naive" (the direct
+    transcription of the reference round loop); bit-identical outputs,
+    tested against each other and the oracle.
     """
     if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != jnp.uint32:
         raise ValueError(
@@ -669,6 +746,9 @@ def permute_planar(
     elif schedule == "mxu":
         consts = _const_arrays_mxu(as_bf16=True)
         kernel = functools.partial(_perm_kernel_mxu, convert=convert)
+    elif schedule == "mxu8":
+        consts = _const_arrays_mxu8()
+        kernel = functools.partial(_perm_kernel_mxu8, convert=convert)
     elif schedule == "naive":
         consts = _const_arrays()
         kernel = functools.partial(_perm_kernel, convert=convert)
@@ -685,7 +765,7 @@ def permute_planar(
 
 
 def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                   emulate: bool = False, schedule: str = "mxu"):
+                   emulate: bool = False, schedule: str = "mxu8"):
     """Fused-kernel permutation on batch-major canonical state.
 
     Drop-in fast path for ops/perm_ref.permute: x is (B, WIDTH, N_DIGITS)
@@ -698,7 +778,7 @@ def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
 
 
 def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                        emulate: bool = False, schedule: str = "mxu"):
+                        emulate: bool = False, schedule: str = "mxu8"):
     """Like permute_pallas but on Montgomery-domain state (no conversions);
     the building block for sponge/Merkle pipelines that chain permutations."""
     return _batch_major(x, block=block, interpret=interpret, convert=False,
@@ -706,7 +786,7 @@ def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = Fals
 
 
 def _batch_major(x, *, block, interpret, convert, emulate=False,
-                 schedule="mxu"):
+                 schedule="mxu8"):
     x = jnp.asarray(x)
     if x.ndim != 3 or x.shape[1:] != (WIDTH, N_DIGITS):
         raise ValueError(f"expected (B, {WIDTH}, {N_DIGITS}), got {x.shape}")
