@@ -54,13 +54,18 @@ def test_edge_words_through_kernel():
     assert np.array_equal(ref, fast)
 
 
-def test_naive_schedule_matches_opt(rng):
-    # the naive kernel (direct reference-loop transcription) stays as the
-    # in-kernel oracle for the optimized schedule
+def test_all_schedules_agree(rng):
+    # the naive kernel (direct reference-loop transcription) is the
+    # in-kernel oracle for every optimized schedule
     x = rand_states(rng, 32)
-    a = np.asarray(permute_pallas(jnp.asarray(x), emulate=True, schedule="opt"))
-    b = np.asarray(permute_pallas(jnp.asarray(x), emulate=True, schedule="naive"))
-    assert np.array_equal(a, b)
+    ref = np.asarray(
+        permute_pallas(jnp.asarray(x), emulate=True, schedule="naive")
+    )
+    for sched in ("opt", "mxu", "mxu8"):
+        got = np.asarray(
+            permute_pallas(jnp.asarray(x), emulate=True, schedule=sched)
+        )
+        assert np.array_equal(got, ref), sched
 
 
 def test_shape_validation():
