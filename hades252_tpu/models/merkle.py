@@ -58,8 +58,6 @@ def _level_up(nodes_mont: jnp.ndarray, perm_mont_fn) -> jnp.ndarray:
     children = nodes_mont.reshape(n // ARITY, ARITY, N_DIGITS)
     tag = jnp.broadcast_to(_tag_mont(), (n // ARITY, 1, N_DIGITS))
     states = jnp.concatenate([tag, children], axis=1)  # (N/4, WIDTH, D)
-    metrics.count("merkle.levels", 1)
-    metrics.count("perms.executed", n // ARITY)
     return perm_mont_fn(states)[:, DIGEST_INDEX, :]
 
 
@@ -77,6 +75,9 @@ def merkle_root(leaves: jnp.ndarray, perm_mont_fn=None) -> jnp.ndarray:
         raise ValueError(f"expected (N, {N_DIGITS}), got {leaves.shape}")
     level = field.to_mont(_pad_to_pow4(leaves))
     while level.shape[0] > 1:
+        # counters live here, outside any trace (metrics.py caveats)
+        metrics.count("merkle.levels", 1)
+        metrics.count("perms.executed", level.shape[0] // ARITY)
         level = _level_up(level, perm_mont_fn)
     return field.from_mont(level[0])
 
@@ -91,6 +92,8 @@ def merkle_levels(leaves: jnp.ndarray, perm_mont_fn=None) -> list[jnp.ndarray]:
     level = field.to_mont(_pad_to_pow4(jnp.asarray(leaves)))
     levels = [level]
     while level.shape[0] > 1:
+        metrics.count("merkle.levels", 1)
+        metrics.count("perms.executed", level.shape[0] // ARITY)
         level = _level_up(level, perm_mont_fn)
         levels.append(level)
     return levels
@@ -118,8 +121,16 @@ def merkle_open(levels: list[jnp.ndarray], index: int):
     return path
 
 
-def merkle_verify(root, leaf, path, perm_mont_fn=None) -> bool:
-    """Check an opening path (host-side; small fixed work)."""
+def merkle_verify(root, leaf, path, height, perm_mont_fn=None) -> bool:
+    """Check an opening path (host-side; small fixed work).
+
+    height: the tree height the verifier expects (log4 of the padded leaf
+    count). REQUIRED for soundness: the node rule is the same at every
+    level, so without binding the path length an internal node would
+    verify as a "leaf" with a truncated path.
+    """
+    if len(path) != height:
+        return False
     if perm_mont_fn is None:
         from ..ops import default_perm_mont_fn
 

@@ -146,10 +146,13 @@ class SpongeState:
         self._absorbed += k
         self._pending.append(field.to_mont(words))
         self._pending_n += k
-        while self._pending_n >= RATE:
+        if self._pending_n >= RATE:
+            # one concatenate; mix all full chunks, keep the remainder
             buf = jnp.concatenate(self._pending, axis=1)
-            chunk, rest = buf[:, :RATE, :], buf[:, RATE:, :]
-            self._mix(chunk)
+            n_full = self._pending_n // RATE
+            for c in range(n_full):
+                self._mix(buf[:, c * RATE : (c + 1) * RATE, :])
+            rest = buf[:, n_full * RATE :, :]
             self._pending = [rest] if rest.shape[1] else []
             self._pending_n = rest.shape[1]
         return self
@@ -175,6 +178,9 @@ class SpongeState:
             self._pending = []
             self._pending_n = 0
         self._squeezed = 0
+        # the fixed-length digest is squeeze word 0 of this state; cache it
+        # so digest() stays idempotent regardless of later squeezes
+        self._digest = field.from_mont(self._state[:, DIGEST_INDEX, :])
 
     def squeeze(self, n_words: int = 1) -> jnp.ndarray:
         """Extract (B, n_words, N_DIGITS) canonical output words; the first
@@ -192,8 +198,11 @@ class SpongeState:
         return field.from_mont(jnp.stack(out, axis=1))
 
     def digest(self) -> jnp.ndarray:
-        """(B, N_DIGITS) canonical digest — sponge_hash equivalence."""
-        return self.squeeze(1)[:, 0, :]
+        """(B, N_DIGITS) canonical digest — sponge_hash equivalence.
+        Idempotent: does not consume squeeze output."""
+        if self._squeezed is None:
+            self._finalize()
+        return self._digest
 
 
 def sponge_hash_ints(words, perm_mont_fn=None) -> int:

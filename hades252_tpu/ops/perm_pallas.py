@@ -410,10 +410,11 @@ def _byte_rows_u32(x16):
                           axis=0)
 
 
-def _byte_rows(x16):
-    """Byte rows cast for the bf16 matmul operand. Cast goes through int32
-    (Mosaic has no uint32->bf16 path; values are bytes, exact both ways)."""
-    return _byte_rows_u32(x16).astype(_xp().int32).astype(_f_dtype())
+def _bytes_cast(xb):
+    """u32 byte rows -> the bf16 matmul operand dtype. Cast goes through
+    int32 (Mosaic has no uint32->bf16 path; values are bytes, exact both
+    ways)."""
+    return xb.astype(_xp().int32).astype(_f_dtype())
 
 
 def _dot_u32_i8(w_s8, rowsum, xb):
@@ -494,9 +495,7 @@ def _perm_kernel_mxu(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
     """bf16 matmul variant — see _perm_kernel_mxu_impl."""
 
     def mk(w_ref):
-        return lambda xb: _dot_u32(
-            w_ref[:], xb.astype(_xp().int32).astype(_f_dtype())
-        )
+        return lambda xb: _dot_u32(w_ref[:], _bytes_cast(xb))
 
     _perm_kernel_mxu_impl(ark_ref, fc_ref, mk(wlin_ref), mk(wpp_ref),
                           mk(wp_ref), in_ref, out_ref, convert=convert)

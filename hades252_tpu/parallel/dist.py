@@ -55,6 +55,13 @@ def permute_sharded(x: jnp.ndarray, mesh: Mesh, perm_fn=None) -> jnp.ndarray:
         raise ValueError(
             f"batch {x.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
         )
+    # NOTE: the jitted shard_map closure is deliberately rebuilt per call.
+    # Caching it (functools.lru_cache on (mesh, fn)) keeps executables alive
+    # across unrelated later compilations and segfaults inside jax's
+    # persistent-cache deserialization on this jax version — reproduced
+    # deterministically by tests/test_dist.py followed by test_models.py.
+    # The retrace cost is bounded by jax's internal C++ fastpath cache
+    # while the arguments' shapes/shardings repeat.
     fn = shard_map(
         perm_fn, mesh=mesh, in_specs=P(AXIS, None, None),
         out_specs=P(AXIS, None, None), check_vma=False,
@@ -128,6 +135,7 @@ def merkle_root_sharded(leaves: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
     )
     padded = jax.device_put(padded, NamedSharding(mesh, P(AXIS, None)))
     metrics.count("dist.merkle_builds", 1)
+    metrics.count("perms.executed", (n - 1) // (ARITY - 1))
     # bytes each device receives in the one all_gather at height h_local
     gathered = n // ARITY**h_local
     metrics.count(

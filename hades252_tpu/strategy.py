@@ -123,8 +123,14 @@ class ScalarStrategy(Strategy):
             self._permute = permute
         elif backend == "pallas":
             from .ops.perm_pallas import permute_pallas
+            from .params import N_DIGITS
 
-            self._permute = permute_pallas
+            def permute_leading(values):
+                arr = np.asarray(values)
+                flat = arr.reshape(-1, WIDTH, N_DIGITS)
+                return np.asarray(permute_pallas(flat)).reshape(arr.shape)
+
+            self._permute = permute_leading
         elif backend == "native":
             from .params import N_DIGITS
             from .utils import native

@@ -14,6 +14,7 @@ Layout: <dir>/level_<k>.bin (4^(H-k) scalars) + <dir>/meta.json.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -85,7 +86,11 @@ def merkle_root_checkpointed(leaves, d: str, perm_mont_fn=None,
     n = padded.shape[0]
     height = tree_levels(n)
 
-    meta = {"n_leaves_padded": int(n), "height": int(height), "arity": ARITY}
+    # fingerprint the actual leaves: resuming a dir built from DIFFERENT
+    # leaves of the same shape must fail loudly, not return the old root
+    fp = hashlib.sha256(np.ascontiguousarray(np.asarray(padded)).tobytes())
+    meta = {"n_leaves_padded": int(n), "height": int(height), "arity": ARITY,
+            "leaves_sha256": fp.hexdigest()}
     os.makedirs(d, exist_ok=True)
     if os.path.exists(_meta_path(d)):
         prior = json.load(open(_meta_path(d)))

@@ -10,6 +10,12 @@ Design: a process-global registry of monotonic counters + timers, zero
 overhead when disabled (the default). Drivers call `count()`/`timer()`
 unconditionally; both no-op unless `enable()` was called. Values are host
 side bookkeeping only — nothing here touches the traced compute path.
+
+Caveat: counts must be placed OUTSIDE jit/scan/shard_map (a count inside a
+traced function fires once at trace time and never on cached executions).
+The drivers place them at host-level call sites; if a caller jits a whole
+driver function (e.g. wraps sponge_hash in jax.jit), the counters reflect
+traces, not executions.
 """
 
 from __future__ import annotations

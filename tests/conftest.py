@@ -9,13 +9,35 @@ XLA_FLAGS/JAX_PLATFORMS env vars are applied too late — use jax.config
 instead (it wins as long as no backend has been touched yet).
 """
 
+import hashlib
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+def _cpu_cache_dir() -> str:
+    """Persistent-cache dir keyed by this host's CPU feature set.
+
+    XLA:CPU cache entries are machine code; this VM can migrate between
+    hosts with different CPU features, and loading an entry compiled for a
+    richer ISA segfaults/SIGILLs mid-suite (the cpu_aot_loader 'machine
+    type ... doesn't match' warnings). A per-feature-set dir trades a
+    one-time recompile after migration for never loading foreign code.
+    """
+    try:
+        flags = [
+            line for line in open("/proc/cpuinfo") if line.startswith("flags")
+        ][0]
+    except (OSError, IndexError):
+        flags = "unknown"
+    return "/tmp/jax_cache_" + hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
 # Persistent compilation cache: the scan-heavy oracle takes minutes to
 # compile; cache across test sessions.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from hades252_tpu import params
+from hades252_tpu import field, params
 from hades252_tpu.models import merkle, sponge
 from hades252_tpu.ops import make_perm_mont_fn
 from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
@@ -120,6 +120,17 @@ def test_sponge_squeeze_extendable(rng):
     assert len(set(ints)) == 6
 
 
+def test_sponge_digest_idempotent(rng):
+    msgs = ints_to_digits([[1, 2, 3, 4]], shape=(1, 4))
+    st = sponge.SpongeState(1, 4).absorb(jnp.asarray(msgs))
+    a = np.asarray(st.digest())
+    b = np.asarray(st.digest())
+    assert np.array_equal(a, b)
+    # digest unchanged even after squeezing past it
+    st.squeeze(3)
+    assert np.array_equal(np.asarray(st.digest()), a)
+
+
 def test_sponge_streaming_validation(rng):
     st = sponge.SpongeState(1, 4)
     with pytest.raises(ValueError):
@@ -160,10 +171,14 @@ def test_merkle_open_verify(rng):
     root = merkle.merkle_root(leaves)
     path = merkle.merkle_open(levels, 5)
     leaf5 = ints_to_digits([leaves_int[5]])[0]
-    assert merkle.merkle_verify(root, leaf5, path)
+    assert merkle.merkle_verify(root, leaf5, path, height=2)
     # wrong leaf fails
     bad = ints_to_digits([(leaves_int[5] + 1) % P])[0]
-    assert not merkle.merkle_verify(root, bad, path)
+    assert not merkle.merkle_verify(root, bad, path, height=2)
+    # an internal node with a truncated path must NOT verify as a leaf
+    internal = np.asarray(field.from_mont(levels[1][1]))
+    short = path[1:]
+    assert not merkle.merkle_verify(root, internal, short, height=2)
 
 
 def test_merkle_pallas_backend_matches(rng):

@@ -94,6 +94,9 @@ def test_merkle_checkpoint_resume(rng, tmp_path):
     # mismatched build shape is rejected
     with pytest.raises(ValueError):
         checkpoint.merkle_root_checkpointed(rand_leaves(rng, 256), d)
+    # DIFFERENT leaves with the same shape are rejected (fingerprint)
+    with pytest.raises(ValueError):
+        checkpoint.merkle_root_checkpointed(rand_leaves(rng, 64), d)
 
 
 def test_checkpoint_detects_corrupt_level(rng, tmp_path):
