@@ -1,0 +1,53 @@
+"""Quickstart: everything a dusk-network/Hades252 user needs, in one file.
+
+Run anywhere (CPU or TPU):  python examples/quickstart.py
+"""
+
+import jax
+
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+import hades252_tpu as h
+from hades252_tpu.models.merkle import merkle_levels, merkle_open, merkle_root, merkle_verify
+from hades252_tpu.models.sponge import SpongeState, sponge_hash_ints
+from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+
+# --- the permutation, reference-style (ScalarStrategy::perm) ----------------
+state = [1, 2, 3, 4, 5]
+h.ScalarStrategy().perm(state)  # in place, like &mut [BlsScalar; 5]
+print("perm([1..5])[0] =", hex(state[0]))
+
+# --- batched, through the compiled backend ----------------------------------
+x = ints_to_digits([[i, i, i, i, i] for i in range(8)], shape=(8, 5))
+out = h.permute(jnp.asarray(x))  # pure-JAX oracle; ScalarStrategy("pallas")
+print("batched:", out.shape)     # uses the fused TPU kernel on TPU
+
+# --- sponge hashing ----------------------------------------------------------
+print("sponge([1..5]) =", hex(sponge_hash_ints([1, 2, 3, 4, 5]))[:20], "...")
+
+# streaming absorb + extendable squeeze
+st = SpongeState(n_streams=1, total_length=6)
+st.absorb(jnp.asarray(ints_to_digits([[1, 2]], shape=(1, 2))))
+st.absorb(jnp.asarray(ints_to_digits([[3, 4, 5, 6]], shape=(1, 4))))
+stream = st.squeeze(3)  # 3 output words
+print("squeeze(3):", [hex(int(digits_to_ints(np.asarray(w))))[:14]
+                      for w in stream[0]])
+
+# --- Merkle tree + inclusion proof -------------------------------------------
+leaves = jnp.asarray(ints_to_digits(list(range(64)), shape=(64,)))
+root = merkle_root(leaves)
+levels = merkle_levels(leaves)
+path = merkle_open(levels, index=17)
+ok = merkle_verify(root, ints_to_digits([17])[0], path, height=3)
+print("merkle proof for leaf 17:", ok)
+
+# --- PLONK constraint synthesis (GadgetStrategy) ------------------------------
+c = h.Composer()
+ws = [c.append_witness(v) for v in (1, 2, 3, 4, 5)]
+h.GadgetStrategy.gadget(c, ws)
+print(f"gadget: {len(c)} gates, satisfied={c.check_satisfied()}, "
+      f"out[0]={hex(c.value(ws[0]))[:14]}...")

@@ -112,6 +112,8 @@ def merkle_open(levels: list[jnp.ndarray], index: int):
     (ARITY, N_DIGITS) Montgomery-domain group containing the node and
     position is the node's index within the group.
     """
+    if not 0 <= index < levels[0].shape[0]:
+        raise ValueError(f"leaf index {index} out of range")
     path = []
     for level in levels[:-1]:
         group = index // ARITY
