@@ -126,6 +126,10 @@ def _mul_cols(a, b, n_out, acc=None):
         w_hi = min(_D, n_out - i - 1)
         if w_hi > 0:
             acc = _slice_add(acc, i + 1, hi[:w_hi])
+    if _EMULATE:
+        # sanitizer analogue (SURVEY.md §5): the lazy-reduction bound that
+        # every caller relies on — checked on every CPU test run
+        assert int(acc.max()) < (1 << 24), "column accumulator overflow"
     return acc
 
 
@@ -146,6 +150,8 @@ def _sqr_cols(a):
             hi = prod >> _SH
             acc = _slice_add(acc, 2 * i + 1, lo + lo)
             acc = _slice_add(acc, 2 * i + 2, hi + hi)
+    if _EMULATE:
+        assert int(acc.max()) < (1 << 22), "square accumulator overflow"
     return acc
 
 
@@ -394,7 +400,9 @@ def _dot_u32(w, x):
     All products are <= 255*255 and all column sums < 2^24, so f32
     accumulation is exact regardless of order."""
     if _EMULATE:
-        return (w @ x).astype(np.uint32)
+        acc = w @ x
+        assert float(acc.max()) < float(1 << 24), "f32 matmul exactness bound"
+        return acc.astype(np.uint32)
     acc = jax.lax.dot_general(
         w, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -432,6 +440,7 @@ def _dot_u32_i8(w_s8, rowsum, xb):
     x_s8 = (xb_i32 - 128).astype(xp.int8)
     if _EMULATE:
         acc = w_s8.astype(np.int32) @ x_s8.astype(np.int32)
+        assert int(np.abs(acc).max()) < (1 << 23), "int8 matmul bound"
     else:
         acc = jax.lax.dot_general(
             w_s8, x_s8, (((1,), (0,)), ((), ())),
