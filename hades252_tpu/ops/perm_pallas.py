@@ -23,6 +23,7 @@ Verified bit-exact against ops/perm_ref.py (tests/test_perm_pallas.py).
 
 from __future__ import annotations
 
+import contextvars
 import functools
 
 import jax
@@ -51,20 +52,25 @@ _D = N_DIGITS
 # throughput knee on v5e; 4096 exceeds the 16MB scoped-VMEM limit.
 DEFAULT_BLOCK = 2048
 
-# Emulation toggle: when True the kernel body runs eagerly on NUMPY arrays
+# Emulation toggle: when set the kernel body runs eagerly on NUMPY arrays
 # (identical uint32 wrap-around semantics, zero XLA compile) — the CPU test
-# path. When False (default) the body is traced by Pallas for Mosaic.
-_EMULATE = False
+# path. A ContextVar (not a module global) so a concurrent jit trace of
+# permute_planar in another thread never observes the numpy namespace.
+_EMULATE = contextvars.ContextVar("hades_emulate", default=False)
+
+
+def _emu() -> bool:
+    return _EMULATE.get()
 
 
 def _xp():
     """Array namespace for the kernel body: jnp (traced) or numpy (emulated)."""
-    return np if _EMULATE else jnp
+    return np if _emu() else jnp
 
 
 def _fori(lo, hi, body, st):
     """lax.fori_loop when traced; a plain Python loop under emulation."""
-    if _EMULATE:
+    if _emu():
         for r in range(lo, hi):
             st = body(r, st)
         return st
@@ -126,7 +132,7 @@ def _mul_cols(a, b, n_out, acc=None):
         w_hi = min(_D, n_out - i - 1)
         if w_hi > 0:
             acc = _slice_add(acc, i + 1, hi[:w_hi])
-    if _EMULATE:
+    if _emu():
         # sanitizer analogue (SURVEY.md §5): the lazy-reduction bound that
         # every caller relies on — checked on every CPU test run
         assert int(acc.max()) < (1 << 24), "column accumulator overflow"
@@ -150,7 +156,7 @@ def _sqr_cols(a):
             hi = prod >> _SH
             acc = _slice_add(acc, 2 * i + 1, lo + lo)
             acc = _slice_add(acc, 2 * i + 2, hi + hi)
-    if _EMULATE:
+    if _emu():
         assert int(acc.max()) < (1 << 22), "square accumulator overflow"
     return acc
 
@@ -391,7 +397,7 @@ def _perm_kernel_opt(arkfr_ref, mds_ref, fc_ref, u_ref, w_ref, m_ref, d_ref,
 def _f_dtype():
     """Matmul operand dtype: bf16 on TPU (bytes 0..255 exact), f32 under
     numpy emulation (numpy has no bfloat16; same exactness bound)."""
-    return np.float32 if _EMULATE else jnp.bfloat16
+    return np.float32 if _emu() else jnp.bfloat16
 
 
 def _dot_u32(w, x):
@@ -399,7 +405,7 @@ def _dot_u32(w, x):
 
     All products are <= 255*255 and all column sums < 2^24, so f32
     accumulation is exact regardless of order."""
-    if _EMULATE:
+    if _emu():
         acc = w @ x
         assert float(acc.max()) < float(1 << 24), "f32 matmul exactness bound"
         return acc.astype(np.uint32)
@@ -431,14 +437,14 @@ def _dot_u32_i8(w_s8, rowsum, xb):
     w_s8 = W - 128 in int8 (W has byte entries 0..255); rowsum = per-row
     sums of w_s8 (int32, (M, 1)); xb: (K, B) uint32 byte rows. Identity:
         W @ x = w_s8 @ (x - 128) + 128*rowsum + 128*colsum(x)
-    (the two 128^2 K terms cancel). |w_s8 @ x_s8| <= 128*128*160 < 2^21 and
-    corrections < 2^23, all exact in int32.
+    (the two 128^2 K terms cancel). |w_s8 @ x_s8| <= 128*128*160 < 2^22 and
+    corrections <= 128*255*160 < 2^23, all exact in int32.
     """
     xp = _xp()
     xb_i32 = xb.astype(xp.int32)  # Mosaic can't reduce unsigned ints
     colsum = xp.sum(xb_i32, axis=0, keepdims=True)  # (1, B)
     x_s8 = (xb_i32 - 128).astype(xp.int8)
-    if _EMULATE:
+    if _emu():
         acc = w_s8.astype(np.int32) @ x_s8.astype(np.int32)
         assert int(np.abs(acc).max()) < (1 << 23), "int8 matmul bound"
     else:
@@ -621,14 +627,13 @@ def permute_planar_emulated(x, *, convert: bool = True,
     match XLA's exactly. The Mosaic lowering itself is exercised on real TPU
     by bench.py and the driver's entry() compile check.
     """
-    global _EMULATE
     x = np.asarray(x)
     if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != np.uint32:
         raise ValueError(
             f"expected ({WIDTH}, {N_DIGITS}, B) uint32, got {x.shape} {x.dtype}"
         )
     out = _HostRef()
-    _EMULATE = True
+    token = _EMULATE.set(True)
     try:
         if schedule == "opt":
             consts = _const_arrays_opt()
@@ -657,7 +662,7 @@ def permute_planar_emulated(x, *, convert: bool = True,
         else:
             raise ValueError(f"unknown schedule: {schedule}")
     finally:
-        _EMULATE = False
+        _EMULATE.reset(token)
     return np.stack([out[w] for w in range(WIDTH)])
 
 
@@ -736,6 +741,13 @@ def permute_planar(
     if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != jnp.uint32:
         raise ValueError(
             f"expected ({WIDTH}, {N_DIGITS}, B) uint32, got {x.shape} {x.dtype}"
+        )
+    if not interpret and jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "the fused Pallas kernel requires a TPU backend (current: "
+            f"{jax.default_backend()}); for CPU testing pass emulate=True to "
+            "permute_pallas/permute_pallas_mont, or use the pure-JAX oracle "
+            "(ops.perm_ref.permute)"
         )
     b = x.shape[2]
     if b % block != 0:

@@ -144,5 +144,9 @@ def merkle_root_sharded(leaves: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
     )
     with metrics.timer("dist.merkle_wall"):
         out = jax.jit(fn)(padded)
-        out.block_until_ready()
+        # fetch a scalar reduction rather than block_until_ready: through the
+        # axon TPU relay block_until_ready does not actually block, so the
+        # timer would under-report (CLAUDE.md); a 4-byte fetch forces
+        # completion on every backend.
+        int(jnp.sum(out.astype(jnp.uint32)))
     return out[0]

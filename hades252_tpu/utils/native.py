@@ -8,6 +8,7 @@ authoritative for correctness, just slower).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from functools import cache
@@ -22,13 +23,33 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _cpu_key() -> str:
+    """Short hash of this host's CPU feature flags. The library is built
+    with -march=native and this VM migrates between hosts with different
+    ISAs, so each feature set gets its own artifact (loading machine code
+    compiled on a richer host would SIGILL, not degrade)."""
+    try:
+        flags = [
+            line for line in open("/proc/cpuinfo") if line.startswith("flags")
+        ][0]
+    except (OSError, IndexError):
+        flags = "unknown"
+    return hashlib.sha1(flags.encode()).hexdigest()[:12]
+
+
 @cache
 def _lib() -> ctypes.CDLL:
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libhades_cpu.so"))
-    if not os.path.exists(so):
+    if os.environ.get("HADES_NO_NATIVE"):
+        raise NativeUnavailable("disabled via HADES_NO_NATIVE")
+    name = f"libhades_cpu_{_cpu_key()}.so"
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, name))
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "hades_cpu.cpp"))
+    stale = os.path.exists(so) and os.path.getmtime(so) < os.path.getmtime(src)
+    if not os.path.exists(so) or stale:
         try:
             subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                ["make", "-C", os.path.abspath(_NATIVE_DIR), f"SO={name}",
+                 "-B"],
                 check=True,
                 capture_output=True,
             )

@@ -1,0 +1,39 @@
+"""Run the example scripts end-to-end (VERDICT r1: examples were untested).
+
+Each example runs in a subprocess (they configure jax.config themselves,
+which must happen before any backend touch) with the suite's persistent
+compile cache so reruns are fast on this 1-core host.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from .conftest import _cpu_cache_dir
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = _cpu_cache_dir()
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, os.path.join(_REPO, "examples", script)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env=env,
+        cwd=_REPO,
+    )
+
+
+@pytest.mark.parametrize("script", ["quickstart.py", "multichip_merkle.py"])
+def test_example(script):
+    proc = _run(script)
+    assert proc.returncode == 0, (
+        f"{script} failed\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    )
+    assert proc.stdout.strip(), f"{script} printed nothing"

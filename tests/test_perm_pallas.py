@@ -75,3 +75,11 @@ def test_shape_validation():
         permute_pallas(
             jnp.zeros((4, 5, 16), jnp.uint32), emulate=True, schedule="bogus"
         )
+
+
+def test_pallas_requires_tpu_clear_error(rng):
+    # On a CPU backend the kernel path must fail with a clear message (not
+    # deep inside pallas_call) unless emulate/interpret is requested
+    x = rand_states(rng, 128)
+    with pytest.raises(RuntimeError, match="requires a TPU backend"):
+        permute_pallas(jnp.asarray(x), block=128)

@@ -85,3 +85,14 @@ def test_width_validation():
         strat.perm([1, 2, 3])
     with pytest.raises(ValueError):
         permute(jnp.zeros((4, 16), jnp.uint32))
+
+
+def test_next_c_exhaustion():
+    # Exhausting the 960 preloaded constants is a hard error, mirroring the
+    # reference's panic "out of ARK constants" (src/strategies.rs:33-41)
+    strat = ScalarStrategy()
+    constants = iter([1, 2])
+    assert strat.next_c(constants) == 1
+    assert strat.next_c(constants) == 2
+    with pytest.raises(RuntimeError, match="out of ARK constants"):
+        strat.next_c(constants)
