@@ -9,6 +9,8 @@ Public API parity with the reference crate root (reference: src/lib.rs:20-31):
   WIDTH, TOTAL_FULL_ROUNDS, PARTIAL_ROUNDS    — fixed parameters
   ScalarStrategy / permute                    — executes the permutation
   GadgetStrategy / Composer                   — synthesizes it as constraints
+  plonk (module)                              — polynomial prove/verify for
+                                                the synthesized constraints
 """
 
 from .params import (  # noqa: F401

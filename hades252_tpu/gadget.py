@@ -26,6 +26,9 @@ The `Composer` here mirrors dusk-plonk's arithmetic-gate Composer surface
 PLONK arithmetic gate:
     q_m*a*b + q_l*a + q_r*b + q_4*d + q_o*o + q_c + pi = 0
 plus `check_satisfied()` and a columnar export for downstream provers.
+The actual prove/verify cycle (gate identity + copy-constraint grand
+product over a radix-2 domain, the analogue of the reference's
+prover.prove/verifier.verify via dusk-plonk) lives in plonk.py.
 """
 
 from __future__ import annotations

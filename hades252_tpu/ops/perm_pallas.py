@@ -529,6 +529,60 @@ def _perm_kernel_mxu8(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
                           in_ref, out_ref, convert=convert)
 
 
+class _MxuOps:
+    """Shared MXU-schedule machinery: field constants + the round closures
+    (sbox on VPU with MXU reductions, MDS as one digit-convolution matmul).
+    Used by the mxu/mxu8 kernels and the hyb kernel's full rounds."""
+
+    def __init__(self, ark_ref, fc_ref, dot_lin, dot_pp, dot_p):
+        xp = _xp()
+        self.p = fc_ref[0, :][:, None]
+        self.pp = fc_ref[1, :][:, None]
+        self.r2 = fc_ref[2, :][:, None]
+        self.one = fc_ref[3, :][:, None]
+        self.p17 = xp.concatenate(
+            [self.p, xp.zeros_like(self.p[0:1])], axis=0
+        )
+        self.twop17 = _carry(self.p17 + self.p17)
+        self.ark_ref = ark_ref
+        self.dot_lin, self.dot_pp, self.dot_p = dot_lin, dot_pp, dot_p
+
+    def redc_words(self, ts):
+        return _redc_words_mxu(ts, self.dot_pp, self.dot_p, self.p,
+                               self.p17, self.twop17, wide=False)
+
+    def sbox_words(self, ws):
+        """x^5 on each word; squares/products on VPU, reductions on MXU."""
+        x2 = self.redc_words([_sqr_cols(w_) for w_ in ws])
+        x4 = self.redc_words([_sqr_cols(w_) for w_ in x2])
+        return self.redc_words(
+            [_mul_cols(a, b, 2 * _D) for a, b in zip(x4, ws)]
+        )
+
+    def mds_mxu(self, st):
+        xp = _xp()
+        by = xp.concatenate([_byte_rows_u32(w_) for w_ in st], axis=0)
+        t_cols = self.dot_lin(by)                                   # (315, B)
+        ts = []
+        for k in range(WIDTH):
+            cols = t_cols[k * 63 : (k + 1) * 63]
+            t16 = _recombine16(cols, 2 * _D)                        # 32 rows
+            zero = xp.zeros_like(t16[0:1])
+            ts.append(xp.concatenate([t16, zero], axis=0))  # 33 un-carried
+        return _redc_words_mxu(ts, self.dot_pp, self.dot_p, self.p,
+                               self.p17, self.twop17, wide=True)
+
+    def round_fn(self, r, st, full):
+        cs = self.ark_ref[r]
+        st = [_add_mod(st[w], cs[w, :][:, None], self.p)
+              for w in range(WIDTH)]
+        if full:
+            st = self.sbox_words(st)
+        else:
+            st = st[:-1] + self.sbox_words([st[-1]])
+        return tuple(self.mds_mxu(st))
+
+
 def _perm_kernel_mxu_impl(ark_ref, fc_ref, dot_lin, dot_pp, dot_p,
                           in_ref, out_ref, *, convert: bool):
     """67-round permutation, naive round structure (reference:
@@ -537,57 +591,20 @@ def _perm_kernel_mxu_impl(ark_ref, fc_ref, dot_lin, dot_pp, dot_p,
     reduction (wpp/wp, applied to the 5 state words lane-packed). Only the
     variable x variable S-box products run VPU schoolbook.
     Bit-identical outputs to the other schedules (tested)."""
-    xp = _xp()
-    p = fc_ref[0, :][:, None]
-    pp = fc_ref[1, :][:, None]
-    r2 = fc_ref[2, :][:, None]
-    one = fc_ref[3, :][:, None]
-    p17 = xp.concatenate([p, xp.zeros_like(p[0:1])], axis=0)
-    twop17 = _carry(p17 + p17)
+    ops = _MxuOps(ark_ref, fc_ref, dot_lin, dot_pp, dot_p)
 
     if convert:
-        state = tuple(_mont_mul(in_ref[w], r2, p, pp) for w in range(WIDTH))
+        state = tuple(
+            _mont_mul(in_ref[w], ops.r2, ops.p, ops.pp) for w in range(WIDTH)
+        )
     else:
         state = tuple(in_ref[w] for w in range(WIDTH))
 
-    def redc_words(ts):
-        return _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17,
-                               wide=False)
-
-    def sbox_words(ws):
-        """x^5 on each word; squares/products on VPU, reductions on MXU."""
-        x2 = redc_words([_sqr_cols(w_) for w_ in ws])
-        x4 = redc_words([_sqr_cols(w_) for w_ in x2])
-        return redc_words(
-            [_mul_cols(a, b, 2 * _D) for a, b in zip(x4, ws)]
-        )
-
-    def mds_mxu(st):
-        by = xp.concatenate([_byte_rows_u32(w_) for w_ in st], axis=0)
-        t_cols = dot_lin(by)                                        # (315, B)
-        ts = []
-        for k in range(WIDTH):
-            cols = t_cols[k * 63 : (k + 1) * 63]
-            t16 = _recombine16(cols, 2 * _D)                        # 32 rows
-            zero = xp.zeros_like(t16[0:1])
-            ts.append(xp.concatenate([t16, zero], axis=0))  # 33 un-carried
-        return _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17,
-                               wide=True)
-
-    def round_fn(r, st, full):
-        cs = ark_ref[r]
-        st = [_add_mod(st[w], cs[w, :][:, None], p) for w in range(WIDTH)]
-        if full:
-            st = sbox_words(st)
-        else:
-            st = st[:-1] + sbox_words([st[-1]])
-        return tuple(mds_mxu(st))
-
     def full_body(r, st):
-        return round_fn(r, list(st), full=True)
+        return ops.round_fn(r, list(st), full=True)
 
     def partial_body(r, st):
-        return round_fn(r, list(st), full=False)
+        return ops.round_fn(r, list(st), full=False)
 
     half = TOTAL_FULL_ROUNDS // 2
     st = _fori(0, half, full_body, state)
@@ -595,7 +612,178 @@ def _perm_kernel_mxu_impl(ark_ref, fc_ref, dot_lin, dot_pp, dot_p,
     st = _fori(half + PARTIAL_ROUNDS, ROUNDS, full_body, st)
 
     for w in range(WIDTH):
-        out_ref[w] = _mont_mul(st[w], one, p, pp) if convert else st[w]
+        out_ref[w] = (
+            _mont_mul(st[w], ops.one, ops.p, ops.pp) if convert else st[w]
+        )
+
+
+# ---------------------------------------------------------------------------
+# hyb schedule: full-expansion partial rounds (params.dot_schedule_int).
+# Each of the 59 partial rounds is ONE int8 matmul over the basis buffer
+# [1, x_0..x_4, s_0..s_{r-1}] + ONE wide Montgomery reduction + the S-box —
+# replacing the dense MDS layer's five lane-packed reductions. The basis
+# buffer Y lives in a VMEM scratch as offset-encoded bytes (value - 128).
+# ---------------------------------------------------------------------------
+
+
+def _dot_i8_raw(w_s8, y_s8):
+    """(M, K) int8 @ (K, B) int8 -> (M, B) int32 (exact: |sum| <= K*128^2 <
+    2^26 for K <= 2080, plus corrections < 2^29, all within int32)."""
+    if _emu():
+        return w_s8.astype(np.int32) @ y_s8.astype(np.int32)
+    return jax.lax.dot_general(
+        w_s8, y_s8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _store_rows(ref, start, val):
+    """ref[start:start+rows, :] = val with a (possibly dynamic) row offset."""
+    if _emu():
+        ref[start : start + val.shape[0], :] = val
+    else:
+        ref[pl.ds(start, val.shape[0]), :] = val
+
+
+def _recombine16_wide(cols):
+    """63 un-carried base-256 columns with values < 2^27 (a dot of up to 65
+    byte-Toeplitz products) -> 33 un-carried 16-bit columns.
+
+    The 2-term recombine (_recombine16) would overflow here — col<<8 can
+    reach 2^35 — so the odd column's high bits carry one byte up instead:
+        t16[d] = cols[2d] + ((cols[2d+1] & 0xFF) << 8) + (cols[2d-1] >> 8)
+    every term < 2^27 + 2^16 + 2^19 < 2^28, exact in uint32."""
+    xp = _xp()
+    rows = []
+    for d in range(2 * _D):
+        t = cols[2 * d : 2 * d + 1]
+        if 2 * d + 1 < cols.shape[0]:
+            t = t + ((cols[2 * d + 1 : 2 * d + 2] & np.uint32(0xFF))
+                     << np.uint32(8))
+        if d > 0:
+            t = t + (cols[2 * d - 1 : 2 * d] >> np.uint32(8))
+        rows.append(t)
+    rows.append(xp.zeros_like(rows[0]))
+    if _emu():
+        assert max(int(r.max()) for r in rows) < (1 << 28), \
+            "wide recombine bound"
+    return xp.concatenate(rows, axis=0)
+
+
+def _redc_wide_big(t33, ops, pmul_ref):
+    """Montgomery-reduce a CARRIED 33-digit value T < 65 p^2 (the
+    full-expansion dot accumulates up to 65 Montgomery products; 65 p^2 <
+    2^517 fits 33 digits). t = (T + m p)/R < 65 p^2/R + p < 31p; a
+    16/8/4/2/1 conditional-subtract ladder (pmul_ref rows, 17-digit
+    multiples of p) normalizes any value < 32p to < p."""
+    xp = _xp()
+    m_cols = ops.dot_pp(_byte_rows_u32(t33[:_D]))              # (32, B)
+    m = _carry(_recombine16(m_cols, _D))                       # exact mod R
+    mp_cols = ops.dot_p(_byte_rows_u32(m))                     # (63, B)
+    mp = _recombine16(mp_cols, 2 * _D)                         # 32 rows
+    zero = xp.zeros_like(mp[0:1])
+    s = _carry(xp.concatenate([mp, zero], axis=0) + t33)       # 33 digits
+    hi = s[_D:]                                                # 17 digits
+    for k in range(5):
+        hi = _cond_sub_p(hi, pmul_ref[k][:, None])
+    return hi[:_D]
+
+
+def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
+                     rslin_ref, rspp_ref, rsp_ref,
+                     w1_ref, rs1_ref, w2_ref, rs2_ref,
+                     wout_ref, rsout_ref, pmul_ref, onem_ref,
+                     in_ref, out_ref, y_ref, *, convert: bool):
+    """67-round permutation: mxu8 full rounds + full-expansion partial chain.
+
+    The 59 partial rounds run as one int8 matmul over the growing basis
+    buffer + one wide REDC + one S-box each (see params.dot_schedule_int for
+    the exact algebraic transform and tests for bit-identity with the naive
+    schedule). y_ref: (32*65, B) int8 VMEM scratch holding the basis
+    elements as offset bytes; rows of absent elements hold raw byte 0
+    (i.e. -128), whose matmul contribution is exactly zero because the
+    corresponding weight bytes are zero (see params.hyb_weights_np).
+    """
+    from ..params import HYB_N_BASIS, HYB_SEG1_ELEMS, HYB_SEG1_ROUNDS, \
+        HYB_SEG2_ELEMS
+
+    xp = _xp()
+
+    def mk(w_ref, rs_ref):
+        return lambda xb: _dot_u32_i8(w_ref[:], rs_ref[:], xb)
+
+    ops = _MxuOps(ark_ref, fc_ref, mk(wlin_ref, rslin_ref),
+                  mk(wpp_ref, rspp_ref), mk(wp_ref, rsp_ref))
+
+    if convert:
+        state = tuple(
+            _mont_mul(in_ref[w], ops.r2, ops.p, ops.pp) for w in range(WIDTH)
+        )
+    else:
+        state = tuple(in_ref[w] for w in range(WIDTH))
+
+    half = TOTAL_FULL_ROUNDS // 2
+    st = _fori(0, half,
+               lambda r, s: ops.round_fn(r, list(s), full=True), state)
+
+    b = st[0].shape[-1]
+    y_rows = 32 * HYB_N_BASIS
+
+    # --- init the basis buffer: [1_mont, x_0..x_4], rest raw byte 0 -------
+    _store_rows(y_ref, 0, xp.full((y_rows, b), -128, xp.int8))
+
+    def put_elem(j, digits16):
+        by = xp.broadcast_to(_byte_rows_u32(digits16), (2 * _D, b))
+        _store_rows(y_ref, 32 * j,
+                    (by.astype(xp.int32) - 128).astype(xp.int8))
+        return by.astype(xp.int32).sum(axis=0, keepdims=True)
+
+    cs = put_elem(0, onem_ref[0, :][:, None])
+    for i in range(WIDTH):
+        cs = cs + put_elem(1 + i, st[i])
+
+    # --- the 59-round chain, two fixed-width segments ---------------------
+    def chain_seg(w_ref_s, rs_ref_s, n_rounds, base, k_elems, cs):
+        kcols = 32 * k_elems
+
+        def body(i, cs):
+            w = w_ref_s[i]                       # (63, kcols) int8
+            rs = rs_ref_s[i]                     # (63, 1) int32
+            y = y_ref[0:kcols, :]
+            acc = _dot_i8_raw(w, y) + 128 * rs + 128 * cs
+            cols = acc.astype(xp.uint32)         # byte columns of the dot
+            t33 = _carry(_recombine16_wide(cols))
+            t = _redc_wide_big(t33, ops, pmul_ref)   # S-box input, < p
+            s = ops.sbox_words([t])[0]
+            by = _byte_rows_u32(s)
+            _store_rows(y_ref, 32 * (1 + WIDTH + base + i),
+                        (by.astype(xp.int32) - 128).astype(xp.int8))
+            return cs + by.astype(xp.int32).sum(axis=0, keepdims=True)
+
+        return _fori(0, n_rounds, body, cs)
+
+    cs = chain_seg(w1_ref, rs1_ref, HYB_SEG1_ROUNDS, 0, HYB_SEG1_ELEMS, cs)
+    cs = chain_seg(w2_ref, rs2_ref, PARTIAL_ROUNDS - HYB_SEG1_ROUNDS,
+                   HYB_SEG1_ROUNDS, HYB_SEG2_ELEMS, cs)
+
+    # --- chain exit: all 5 output words in one matmul + one packed REDC ---
+    y = y_ref[0:y_rows, :]
+    acc = _dot_i8_raw(wout_ref[:], y) + 128 * rsout_ref[:] + 128 * cs
+    cols = acc.astype(xp.uint32)                 # (315, B)
+    ts = [
+        _carry(_recombine16_wide(cols[k * 63 : (k + 1) * 63]))
+        for k in range(WIDTH)
+    ]
+    red = _redc_wide_big(xp.concatenate(ts, axis=1), ops, pmul_ref)
+    st = tuple(red[:, k * b : (k + 1) * b] for k in range(WIDTH))
+
+    st = _fori(half + PARTIAL_ROUNDS, ROUNDS,
+               lambda r, s: ops.round_fn(r, list(s), full=True), st)
+
+    for w in range(WIDTH):
+        out_ref[w] = (
+            _mont_mul(st[w], ops.one, ops.p, ops.pp) if convert else st[w]
+        )
 
 
 class _HostRef:
@@ -612,7 +800,10 @@ class _HostRef:
         return self.arr[idx]
 
     def __setitem__(self, idx, val):
-        self.writes[idx] = val
+        if self.arr is not None:
+            self.arr[idx] = val  # scratch buffers (e.g. the hyb basis)
+        else:
+            self.writes[idx] = val
 
 
 def permute_planar_emulated(x, *, convert: bool = True,
@@ -651,6 +842,15 @@ def permute_planar_emulated(x, *, convert: bool = True,
             consts = _const_arrays_mxu8()
             _perm_kernel_mxu8(
                 *[_HostRef(a) for a in consts], _HostRef(x), out,
+                convert=convert,
+            )
+        elif schedule == "hyb":
+            consts = _const_arrays_hyb()
+            y = _HostRef(
+                np.empty((_hyb_scratch_rows(), x.shape[2]), np.int8)
+            )
+            _perm_kernel_hyb(
+                *[_HostRef(a) for a in consts], _HostRef(x), out, y,
                 convert=convert,
             )
         elif schedule == "naive":
@@ -700,6 +900,32 @@ def _const_arrays_mxu8():
         s8.append(ws)
         rs.append(ws.astype(np.int32).sum(axis=1, keepdims=True))
     return (c["ark_mont"], fc, *s8, *rs)
+
+
+@functools.cache
+def _const_arrays_hyb():
+    """mxu8 int8 weights (full rounds + REDC Toeplitz) + the full-expansion
+    partial-chain weights (see params.hyb_weights_np)."""
+    from ..params import hyb_weights_np, mxu_weights_np
+
+    c = perm_constants_np()
+    w = mxu_weights_np()
+    h = hyb_weights_np()
+    fc = np.stack([c["p"], c["p_prime"], c["r2"], c["one"]])
+    s8, rs = [], []
+    for key in ("w_lin", "w_pp", "w_p"):
+        ws = (w[key].astype(np.int32) - 128).astype(np.int8)
+        s8.append(ws)
+        rs.append(ws.astype(np.int32).sum(axis=1, keepdims=True))
+    return (c["ark_mont"], fc, *s8, *rs,
+            h["w_seg1"], h["rs_seg1"], h["w_seg2"], h["rs_seg2"],
+            h["w_out"], h["rs_out"], h["pmul17"], h["one_mont"][None])
+
+
+def _hyb_scratch_rows() -> int:
+    from ..params import HYB_N_BASIS
+
+    return 32 * HYB_N_BASIS
 
 
 @functools.cache
@@ -760,6 +986,8 @@ def permute_planar(
 
     tile = pl.BlockSpec((WIDTH, N_DIGITS, block), lambda i: (0, 0, i),
                         memory_space=pltpu.VMEM)
+    scratch_shapes = []
+    compiler_params = None
     if schedule == "opt":
         consts = _const_arrays_opt()
         kernel = functools.partial(_perm_kernel_opt, convert=convert)
@@ -769,6 +997,17 @@ def permute_planar(
     elif schedule == "mxu8":
         consts = _const_arrays_mxu8()
         kernel = functools.partial(_perm_kernel_mxu8, convert=convert)
+    elif schedule == "hyb":
+        consts = _const_arrays_hyb()
+        kernel = functools.partial(_perm_kernel_hyb, convert=convert)
+        scratch_shapes = [
+            pltpu.VMEM((_hyb_scratch_rows(), block), jnp.int8)
+        ]
+        # ~8MB of resident basis-chain weights push past the default 16MB
+        # scoped-VMEM accounting; v5e has 128MB of physical VMEM
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     elif schedule == "naive":
         consts = _const_arrays()
         kernel = functools.partial(_perm_kernel, convert=convert)
@@ -780,6 +1019,8 @@ def permute_planar(
         grid=grid,
         in_specs=[whole(c.shape) for c in consts] + [tile],
         out_specs=tile,
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*consts, x)
 

@@ -250,6 +250,64 @@ def optimized_partial_int() -> dict:
 
 
 @functools.cache
+def dot_schedule_int() -> dict:
+    """Full-expansion partial-round schedule (exact algebraic transform).
+
+    Because the 59 partial rounds only apply the S-box to word 4
+    (reference: src/strategies.rs:79-93), the whole chain is affine except
+    for the 59 scalar S-box outputs. Expanding symbolically over the basis
+        e = [1, x_0..x_4, s_0..s_58]          (65 elements)
+    where x_i is the state entering the chain (after full round 3's MDS,
+    before any partial ARK) and s_r is the r-th partial S-box OUTPUT, every
+    S-box INPUT and the final chain output are fixed linear maps:
+
+        t_r       = alpha[r] . e[:6+r]        (s_r = t_r^5)
+        state_out = omega    . e
+
+    with all ARK constants folded into the coefficient on basis element 1.
+    Per round this is ONE 6+r-term constant dot + one S-box — on the MXU
+    kernel, one matmul + one wide Montgomery reduction instead of the dense
+    MDS layer's five (the REDC path is ~73% of kernel time, PERF.md).
+
+    Returns canonical ints mod P:
+      alpha: tuple of 59 tuples; alpha[r] has length 6+r.
+      omega: (5, 65) tuple-of-tuples.
+    Bit-exactness vs the naive schedule is oracle-tested
+    (tests/test_params.py).
+    """
+    mds = mds_matrix_int()
+    ark = round_constants_int()
+    half = TOTAL_FULL_ROUNDS // 2
+    n_basis = 1 + WIDTH + PARTIAL_ROUNDS
+
+    def unit(j):
+        return [1 if i == j else 0 for i in range(n_basis)]
+
+    # symbolic state: 5 coefficient vectors over the basis
+    state = [unit(1 + i) for i in range(WIDTH)]
+    alpha = []
+    for r in range(PARTIAL_ROUNDS):
+        # ARK: constants fold onto basis element 0 (the constant 1)
+        for i in range(WIDTH):
+            state[i][0] = (state[i][0] + ark[(half + r) * WIDTH + i]) % P
+        # S-box input = word 4 after ARK; output becomes a new basis element
+        alpha.append(tuple(state[4][: 6 + r]))
+        state[4] = unit(6 + r)
+        # MDS mixes the coefficient vectors linearly
+        state = [
+            [
+                sum(mds[k][j] * state[j][b] for j in range(WIDTH)) % P
+                for b in range(n_basis)
+            ]
+            for k in range(WIDTH)
+        ]
+    return {
+        "alpha": tuple(alpha),
+        "omega": tuple(tuple(row) for row in state),
+    }
+
+
+@functools.cache
 def perm_constants_np() -> dict[str, np.ndarray]:
     """Numpy limb arrays used by every backend.
 
@@ -341,6 +399,75 @@ def mxu_weights_np() -> dict[str, np.ndarray]:
         "w_lin": w_lin,
         "w_pp": _toeplitz_rows(P_PRIME, 32),
         "w_p": _toeplitz_rows(P, 63),
+    }
+
+
+#: hyb-schedule segment split: rounds 0..26 touch <= 32 basis elements,
+#: rounds 27..58 touch <= 64; each segment's weights are zero-padded to the
+#: segment width so the kernel loop has fixed shapes (small Mosaic trace).
+HYB_SEG1_ROUNDS = 27
+HYB_SEG1_ELEMS = 32
+HYB_SEG2_ELEMS = 64
+HYB_N_BASIS = 1 + WIDTH + PARTIAL_ROUNDS  # 65
+
+
+def _coeff_row_block(coeffs, n_elems: int) -> np.ndarray:
+    """One matmul weight block (63, 32*n_elems): per basis element j, the
+    Toeplitz byte block of its Montgomery-form coefficient (zero where the
+    coefficient is absent/zero)."""
+    w = np.zeros((63, 32 * n_elems), np.float32)
+    for j, c in enumerate(coeffs):
+        if c:
+            w[:, 32 * j : 32 * (j + 1)] = _toeplitz_rows(_to_mont(c), 63)
+    return w
+
+
+def _offset_i8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    s8 = (w.astype(np.int32) - 128).astype(np.int8)
+    return s8, s8.sum(axis=1, keepdims=True, dtype=np.int64).astype(np.int32)
+
+
+@functools.cache
+def hyb_weights_np() -> dict[str, np.ndarray]:
+    """int8 MXU weights for the full-expansion partial-round schedule
+    (dot_schedule_int), offset-encoded like mxu_weights_np (exactness: the
+    identity W@x = w_s8@(x-128) + 128*rowsum(w_s8) + 128*colsum(x) over the
+    SAME padded width; absent coefficients are byte 0 and padded basis rows
+    hold raw byte 0, so they contribute exactly nothing).
+
+    Keys:
+      w_seg1/rs_seg1: (27, 63, 32*32) int8 / (27, 63, 1) int32 — rounds
+        0..26, padded to 32 basis elements.
+      w_seg2/rs_seg2: (32, 63, 32*64) / (32, 63, 1) — rounds 27..58.
+      w_out/rs_out:   (5*63, 32*65) / (5*63, 1) — the chain-exit map omega
+        for all 5 words (word k = rows 63k..63k+62).
+      pmul17: (5, 17) uint32 — 16p, 8p, 4p, 2p, p as 17-digit arrays (the
+        conditional-subtract ladder normalizing the big lazy REDC, whose
+        input is a sum of up to 65 Montgomery products: t < 31p).
+      one_mont: (N_DIGITS,) uint32 — basis element 0 (the constant 1) in
+        Montgomery form, R mod p.
+    """
+    d = dot_schedule_int()
+    alpha, omega = d["alpha"], d["omega"]
+    seg1 = [_offset_i8(_coeff_row_block(alpha[r], HYB_SEG1_ELEMS))
+            for r in range(HYB_SEG1_ROUNDS)]
+    seg2 = [_offset_i8(_coeff_row_block(alpha[r], HYB_SEG2_ELEMS))
+            for r in range(HYB_SEG1_ROUNDS, PARTIAL_ROUNDS)]
+    w_out = np.concatenate(
+        [_coeff_row_block(row, HYB_N_BASIS) for row in omega], axis=0
+    )
+    w_out_s8, rs_out = _offset_i8(w_out)
+    return {
+        "w_seg1": np.stack([s for s, _ in seg1]),
+        "rs_seg1": np.stack([r for _, r in seg1]),
+        "w_seg2": np.stack([s for s, _ in seg2]),
+        "rs_seg2": np.stack([r for _, r in seg2]),
+        "w_out": w_out_s8,
+        "rs_out": rs_out,
+        "pmul17": np.stack(
+            [int_to_digits(k * P, 17) for k in (16, 8, 4, 2, 1)]
+        ),
+        "one_mont": int_to_digits(R_MOD_P),
     }
 
 

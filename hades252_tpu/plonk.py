@@ -1,0 +1,437 @@
+"""Curve-free PLONK-style prove/verify over F_r for the gadget backend.
+
+Round-1 gap (VERDICT.md): the reference's cross-backend oracle is a real
+PLONK prove+verify cycle (reference: src/strategies/gadget.rs:198-271 via
+dusk-plonk), while the rebuild only evaluated each gate against the witness
+column. This module supplies the polynomial-level argument, built entirely
+from field arithmetic (no elliptic curves):
+
+  * Evaluation domain: radix-2 subgroup H of F_r (|F_r^*| = p-1 has
+    2-adicity 32, generator 7 — the standard BLS12-381 scalar-field facts),
+    with NTT/iNTT interpolation.
+  * Gate identity: q_m a b + q_l a + q_r b + q_4 d + q_o o + q_c + PI = 0
+    on H, enforced as divisibility by Z_H(X) = X^n - 1.
+  * Copy constraints: the standard PLONK permutation grand product z(X)
+    over the 4 wire columns with coset shifts (1, k1, k2, k3), plus the
+    L_1 (z(1) = 1) boundary term.
+  * Quotient: t(X) = [gate + alpha perm + alpha^2 boundary] / Z_H computed
+    on a 4n coset; the verifier checks the combined identity at a
+    Fiat-Shamir challenge zeta and the degree bound on t.
+
+Soundness model (documented honestly): this is the "transparent PIOP"
+instantiation — proofs carry the full wire/z/t polynomials, commitments are
+hashes binding the Fiat-Shamir transcript, and the verifier re-evaluates
+everything at zeta itself, so a false statement fails with probability
+>= 1 - 5n/|F| by Schwartz-Zippel. What it does NOT provide is succinctness
+or zero-knowledge; the reference gets those from dusk-plonk's KZG
+commitment scheme, which is exactly the seam where a pairing-based PCS
+would slot in here (commit() below is that seam).
+
+The prover is host-side by design: constraint synthesis and proving are
+sequential big-int bookkeeping (SURVEY.md §2.4); the TPU surface of the
+framework is the execution path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from .gadget import Composer
+from .params import P
+from .strategy import ScalarStrategy
+
+# ---------------------------------------------------------------------------
+# F_r facts (BLS12-381 scalar field): p - 1 = 2^32 * odd; 7 generates F_r^*.
+# ---------------------------------------------------------------------------
+
+TWO_ADICITY = 32
+_ODD = (P - 1) >> TWO_ADICITY
+#: Generator of the 2^32-torsion: 7^((p-1)/2^32) mod p.
+ROOT_OF_UNITY = pow(7, _ODD, P)
+
+#: Wire-column coset shifts k_a=1, k_b, k_o, k_d — non-residues so the
+#: shifted domains k_i H are pairwise disjoint (the dusk-plonk/PLONK-paper
+#: construction; 7 generates F_r^* so small powers of 7 work).
+K_SHIFTS = (1, 7, 13, 17)
+
+assert pow(ROOT_OF_UNITY, 1 << TWO_ADICITY, P) == 1
+assert pow(ROOT_OF_UNITY, 1 << (TWO_ADICITY - 1), P) != 1
+
+
+def _domain_root(n: int) -> int:
+    """Primitive n-th root of unity (n a power of two <= 2^32)."""
+    if n & (n - 1) or n > (1 << TWO_ADICITY):
+        raise ValueError(f"domain size must be a power of two <= 2^32: {n}")
+    return pow(ROOT_OF_UNITY, (1 << TWO_ADICITY) // n, P)
+
+
+# ---------------------------------------------------------------------------
+# NTT over F_r (iterative radix-2, Python ints — circuits here are ~1k gates)
+# ---------------------------------------------------------------------------
+
+
+def ntt(coeffs: list[int], invert: bool = False) -> list[int]:
+    """In-place-style radix-2 NTT: coefficients -> evaluations on H (or the
+    inverse transform when invert=True)."""
+    a = [c % P for c in coeffs]
+    n = len(a)
+    if n & (n - 1):
+        raise ValueError("NTT size must be a power of two")
+    # bit-reversal permutation
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    length = 2
+    while length <= n:
+        w_len = _domain_root(length)
+        if invert:
+            w_len = pow(w_len, P - 2, P)
+        half = length >> 1
+        for start in range(0, n, length):
+            w = 1
+            for k in range(start, start + half):
+                u, v = a[k], a[k + half] * w % P
+                a[k] = (u + v) % P
+                a[k + half] = (u - v) % P
+                w = w * w_len % P
+        length <<= 1
+    if invert:
+        n_inv = pow(n, P - 2, P)
+        a = [x * n_inv % P for x in a]
+    return a
+
+
+def poly_eval(coeffs: list[int], x: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % P
+    return acc
+
+
+def _coset_eval(coeffs: list[int], m: int, shift: int) -> list[int]:
+    """Evaluate a polynomial (deg < m) on the coset shift*H_m."""
+    scaled = []
+    s = 1
+    for c in list(coeffs) + [0] * (m - len(coeffs)):
+        scaled.append(c * s % P)
+        s = s * shift % P
+    return ntt(scaled)
+
+
+def _coset_interp(evals: list[int], shift: int) -> list[int]:
+    """Inverse of _coset_eval."""
+    coeffs = ntt(evals, invert=True)
+    inv_s = pow(shift, P - 2, P)
+    out = []
+    s = 1
+    for c in coeffs:
+        out.append(c * s % P)
+        s = s * inv_s % P
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fiat-Shamir transcript: polynomial hashes chained through the Hades sponge
+# (the framework hashing its own proofs; SHA-256 compresses the coefficient
+# stream to field elements first — the sponge is the random oracle).
+# ---------------------------------------------------------------------------
+
+
+def commit(coeffs: list[int]) -> int:
+    """Binding commitment stand-in: hash of the coefficient stream as one
+    field element. A production system replaces this with a polynomial
+    commitment scheme (the reference uses dusk-plonk's KZG)."""
+    h = hashlib.sha256()
+    for c in coeffs:
+        h.update(int(c % P).to_bytes(32, "little"))
+    return int.from_bytes(h.digest(), "little") % P
+
+
+class Transcript:
+    """Hades-sponge Fiat-Shamir transcript (width-5 permutation, capacity
+    word chained, rate 4)."""
+
+    def __init__(self, label: int = 0x4841444553):  # "HADES"
+        self._strat = ScalarStrategy()
+        self._state = [label % P, 0, 0, 0, 0]
+
+    def absorb(self, *values: int) -> None:
+        vals = [v % P for v in values]
+        for i in range(0, len(vals), 4):
+            chunk = vals[i : i + 4]
+            for j, v in enumerate(chunk):
+                self._state[1 + j] = (self._state[1 + j] + v) % P
+            self._state = self._strat.perm(self._state)
+
+    def challenge(self) -> int:
+        c = self._state[1]
+        self._state = self._strat.perm(self._state)
+        return c
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing: selector + permutation (sigma) polynomials
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CircuitKey:
+    """Preprocessed circuit: everything prover and verifier share."""
+
+    n: int                      # domain size (power of two >= gate count)
+    omega: int                  # primitive n-th root of unity
+    selectors: dict             # name -> coefficient list (deg < n)
+    sigmas: tuple               # 4 coefficient lists (sigma_a..sigma_d)
+    n_gates: int
+
+
+def _wire_indices(composer: Composer) -> list[list[int]]:
+    return [
+        [c.w_a.index for c in composer.gates],
+        [c.w_b.index for c in composer.gates],
+        [c.w_o.index for c in composer.gates],
+        [c.w_d.index for c in composer.gates],
+    ]
+
+
+def preprocess(composer: Composer) -> CircuitKey:
+    """Interpolate selector polynomials and build the copy-constraint
+    permutation sigma over the 4 wire columns (the PLONK preprocessing the
+    reference gets from Compiler::compile, gadget.rs:198-205)."""
+    n_gates = len(composer.gates)
+    n = 1
+    while n < n_gates:
+        n <<= 1
+    omega = _domain_root(n)
+
+    sel_evals = {name: [0] * n for name in
+                 ("q_m", "q_l", "q_r", "q_o", "q_4", "q_c")}
+    for i, c in enumerate(composer.gates):
+        for name in sel_evals:
+            sel_evals[name][i] = getattr(c, name)
+    selectors = {name: ntt(v, invert=True) for name, v in sel_evals.items()}
+
+    # position ids: column c, row i -> k_c * omega^i. sigma maps every
+    # position to the next position sharing its witness (cycle structure).
+    cols = _wire_indices(composer)
+    omega_pows = [1] * n
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * omega % P
+    ids = [[k * omega_pows[i] % P for i in range(n)] for k in K_SHIFTS]
+
+    by_witness: dict[int, list[tuple[int, int]]] = {}
+    for c, col in enumerate(cols):
+        for i, w in enumerate(col):
+            by_witness.setdefault(w, []).append((c, i))
+    sigma_evals = [list(ids[c]) for c in range(4)]  # identity on padding rows
+    for positions in by_witness.values():
+        m = len(positions)
+        for t, (c, i) in enumerate(positions):
+            c2, i2 = positions[(t + 1) % m]  # cyclic shift within the class
+            sigma_evals[c][i] = ids[c2][i2]
+    sigmas = tuple(ntt(v, invert=True) for v in sigma_evals)
+    return CircuitKey(n=n, omega=omega, selectors=selectors, sigmas=sigmas,
+                      n_gates=n_gates)
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Proof:
+    """Transparent proof: commitments bind the transcript; the full
+    polynomials let the verifier evaluate at zeta itself (see module
+    docstring for the soundness model)."""
+
+    wires: tuple            # a, b, o, d coefficient lists
+    z: list                 # grand-product polynomial
+    t: list                 # quotient polynomial (deg <= 3n + 5)
+    commitments: dict       # name -> field element
+
+
+def _public_input_column(composer: Composer, n: int) -> list[int]:
+    pi = [0] * n
+    for i, c in enumerate(composer.gates):
+        pi[i] = c.pi
+    return pi
+
+
+def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
+    """Produce the polynomial argument for the composer's witness.
+
+    Mirrors prover.prove (reference: gadget.rs:217): the witness column is
+    the composer's, the statement is the preprocessed circuit + the public
+    input column."""
+    if key is None:
+        key = preprocess(composer)
+    n, omega = key.n, key.omega
+    cols = _wire_indices(composer)
+    vals = composer._values
+    wire_evals = [
+        [vals[idx] for idx in col] + [0] * (n - key.n_gates) for col in cols
+    ]
+    wires = tuple(ntt(v, invert=True) for v in wire_evals)
+    pi_col = _public_input_column(composer, n)
+
+    tr = Transcript()
+    cm = {}
+    for name, poly in zip("abod", wires):
+        cm[name] = commit(poly)
+        tr.absorb(cm[name])
+    beta = tr.challenge()
+    gamma = tr.challenge()
+
+    # grand product over H
+    omega_pows = [1] * n
+    for i in range(1, n):
+        omega_pows[i] = omega_pows[i - 1] * omega % P
+    sigma_evals = [_coset_eval(s, n, 1) for s in key.sigmas]
+    z_evals = [1] * n
+    for i in range(n - 1):
+        num = den = 1
+        for c in range(4):
+            w = wire_evals[c][i]
+            num = num * (w + beta * K_SHIFTS[c] * omega_pows[i] + gamma) % P
+            den = den * (w + beta * sigma_evals[c][i] + gamma) % P
+        z_evals[i + 1] = z_evals[i] * num * pow(den, P - 2, P) % P
+    z = ntt(z_evals, invert=True)
+    cm["z"] = commit(z)
+    tr.absorb(cm["z"])
+    alpha = tr.challenge()
+
+    # quotient on a 4n coset (gate poly degree <= 3(n-1); perm terms <= 5n)
+    m = 4 * n
+    g = 7  # coset shift: generator, g^m H_m never meets H
+    ce = lambda poly: _coset_eval(poly, m, g)
+    a_c, b_c, o_c, d_c = (ce(w) for w in wires)
+    s_c = [ce(s) for s in key.sigmas]
+    q_c = {name: ce(poly) for name, poly in key.selectors.items()}
+    pi_c = ce(ntt(pi_col, invert=True))
+    z_c = ce(z)
+    zw = [z[i] * omega_pows[i % n] % P for i in range(len(z))]  # z(omega X)
+    zw_c = ce(zw)
+    # L_1 on the coset: (X^n - 1) / (n (X - 1))
+    n_inv = pow(n, P - 2, P)
+    x = 1
+    l1_c, zh_c, xs = [], [], []
+    gx = g
+    for i in range(m):
+        xn = pow(gx, n, P)
+        zh_c.append((xn - 1) % P)
+        l1_c.append((xn - 1) * pow(n * (gx - 1) % P, P - 2, P) % P)
+        xs.append(gx)
+        gx = gx * _domain_root(m) % P
+
+    t_evals = []
+    for i in range(m):
+        gate = (
+            q_c["q_m"][i] * a_c[i] % P * b_c[i]
+            + q_c["q_l"][i] * a_c[i]
+            + q_c["q_r"][i] * b_c[i]
+            + q_c["q_o"][i] * o_c[i]
+            + q_c["q_4"][i] * d_c[i]
+            + q_c["q_c"][i]
+            + pi_c[i]
+        ) % P
+        num = z_c[i]
+        den = zw_c[i]
+        for c, w_c in enumerate((a_c, b_c, o_c, d_c)):
+            num = num * (w_c[i] + beta * K_SHIFTS[c] * xs[i] + gamma) % P
+            den = den * (w_c[i] + beta * s_c[c][i] + gamma) % P
+        perm = (num - den) % P
+        boundary = l1_c[i] * (z_c[i] - 1) % P
+        combined = (gate + alpha * perm + alpha * alpha % P * boundary) % P
+        t_evals.append(combined * pow(zh_c[i], P - 2, P) % P)
+    t = _coset_interp(t_evals, g)
+    cm["t"] = commit(t)
+    return Proof(wires=wires, z=z, t=t, commitments=cm)
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+#: Honest quotient degree bound: gate <= 3n, perm <= 5n... all divided by
+#: Z_H (degree n); the largest term is z * 4 linear wire factors (deg 5n-4),
+#: so deg(t) <= 4n - 4 < 4n. A cheating "quotient" from a non-divisible
+#: combination interpolates to degree 4n-1 generically; the zeta identity
+#: check is what catches it (Schwartz-Zippel), the degree check is belt.
+def _t_degree_bound(n: int) -> int:
+    return 4 * n - 1
+
+
+def verify(key: CircuitKey, proof: Proof, public_inputs: list[int]) -> bool:
+    """Check the polynomial argument (reference analogue: verifier.verify,
+    gadget.rs:220). public_inputs: the PI column values by gate row
+    (padded/truncated to the gate count)."""
+    n, omega = key.n, key.omega
+    # 1. transcript binding: recompute commitments + challenges
+    tr = Transcript()
+    for name, poly in zip("abod", proof.wires):
+        if commit(poly) != proof.commitments.get(name):
+            return False
+        tr.absorb(proof.commitments[name])
+    beta = tr.challenge()
+    gamma = tr.challenge()
+    if commit(proof.z) != proof.commitments.get("z"):
+        return False
+    tr.absorb(proof.commitments["z"])
+    alpha = tr.challenge()
+    if commit(proof.t) != proof.commitments.get("t"):
+        return False
+    tr.absorb(proof.commitments["t"])
+    zeta = tr.challenge()
+
+    # 2. degree bounds
+    if len(proof.t) > 4 * n or any(
+        c % P for c in proof.t[_t_degree_bound(n) + 1 :]
+    ):
+        return False
+    if any(len(w) > n for w in proof.wires) or len(proof.z) > n:
+        return False
+
+    # 3. evaluate everything at zeta
+    a_z, b_z, o_z, d_z = (poly_eval(w, zeta) for w in proof.wires)
+    z_z = poly_eval(proof.z, zeta)
+    zw_z = poly_eval(proof.z, zeta * omega % P)
+    t_z = poly_eval(proof.t, zeta)
+    s_z = [poly_eval(s, zeta) for s in key.sigmas]
+    q_z = {name: poly_eval(poly, zeta) for name, poly in key.selectors.items()}
+
+    pi = [0] * n
+    for i, v in enumerate(public_inputs[:key.n_gates]):
+        pi[i] = v % P
+    pi_z = poly_eval(ntt(pi, invert=True), zeta)
+
+    zh_z = (pow(zeta, n, P) - 1) % P
+    if zh_z == 0:  # zeta landed in H (probability n/|F|): resample honestly
+        return False
+    l1_z = zh_z * pow(n * (zeta - 1) % P, P - 2, P) % P
+
+    gate = (
+        q_z["q_m"] * a_z % P * b_z
+        + q_z["q_l"] * a_z
+        + q_z["q_r"] * b_z
+        + q_z["q_o"] * o_z
+        + q_z["q_4"] * d_z
+        + q_z["q_c"]
+        + pi_z
+    ) % P
+    num = z_z
+    den = zw_z
+    for c, w_z in enumerate((a_z, b_z, o_z, d_z)):
+        num = num * (w_z + beta * K_SHIFTS[c] * zeta + gamma) % P
+        den = den * (w_z + beta * s_z[c] + gamma) % P
+    perm = (num - den) % P
+    boundary = l1_z * (z_z - 1) % P
+    combined = (gate + alpha * perm + alpha * alpha % P * boundary) % P
+    return combined == t_z * zh_z % P

@@ -1,0 +1,150 @@
+"""On-device correctness gate: KATs executed on the REAL backend.
+
+Round-1 gap (VERDICT.md): every CPU test certifies the kernel *math* via
+numpy emulation of the same code object, but nothing compared actual
+TPU-executed kernel output to the oracle — a Mosaic lowering bug, a relay
+fault, or a dtype regression would have produced wrong results while tests
+stayed green and bench.py happily reported throughput. This module is the
+hardware analogue of the reference's execute-and-check tests
+(reference: src/strategies/scalar.rs:62-74): a batch of known inputs (the
+SURVEY §2.3 KAT vectors + seeded random states) runs through every kernel
+schedule, plus the convert=False Montgomery-chaining path, and the full
+5x16-digit outputs are compared against the independent int oracle.
+
+bench.py refuses to print a number unless this passes; __graft_entry__.entry
+asserts it before handing the driver a function to compile.
+
+Shape note: through the TPU relay, the first execution of each distinct
+executable is expensive (the real program build is deferred to it), so the
+device gate uses the SAME (block, batch) as bench.py — the mxu8 gate then
+doubles as the bench warm-up and costs nothing extra.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .params import P, R_MOD_P, WIDTH
+from .strategy import ScalarStrategy
+from .utils.encoding import ints_to_digits
+
+#: Distinct known-answer states (the 4 SURVEY §2.3 vectors + seeded random).
+N_VECTORS = 128
+
+SCHEDULES = ("naive", "opt", "mxu", "mxu8", "hyb")
+
+#: Device-gate shape: must match bench.py so executables are shared.
+BENCH_BLOCK = 2048
+BENCH_LANES = 1 << 14
+
+
+@functools.cache
+def _vectors() -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(inputs, expected, inputs_mont, expected_mont) as (N_VECTORS, 5, 16)
+    u32. Expected outputs come from the exact int oracle (ScalarStrategy on
+    Python ints — independent of every array backend)."""
+    rng = np.random.default_rng(0x4B41_5453)  # "KATS"
+    states = [
+        [0, 0, 0, 0, 0],
+        [1, 1, 1, 1, 1],
+        [17, 17, 17, 17, 17],
+        [0, 1, 2, 3, 4],
+    ]
+    while len(states) < N_VECTORS:
+        states.append(
+            [int.from_bytes(rng.bytes(40), "little") % P for _ in range(WIDTH)]
+        )
+    strat = ScalarStrategy()
+    expected = [strat.perm(list(s)) for s in states]
+    to_mont = lambda ws: [(w * R_MOD_P) % P for w in ws]
+    return (
+        ints_to_digits(states, shape=(N_VECTORS, WIDTH)),
+        ints_to_digits(expected, shape=(N_VECTORS, WIDTH)),
+        ints_to_digits([to_mont(s) for s in states], shape=(N_VECTORS, WIDTH)),
+        ints_to_digits([to_mont(e) for e in expected], shape=(N_VECTORS, WIDTH)),
+    )
+
+
+def _tile(arr: np.ndarray, lanes: int) -> np.ndarray:
+    reps = -(-lanes // arr.shape[0])
+    return np.tile(arr, (reps, 1, 1))[:lanes]
+
+
+def verify_device(
+    schedules=SCHEDULES,
+    *,
+    emulate: bool = False,
+    block: int | None = None,
+    lanes: int | None = None,
+    include_mont: bool = True,
+) -> list[str]:
+    """Run the KAT batch through each kernel schedule on the current backend.
+
+    Returns a list of failure descriptions (empty = all bit-exact). Each
+    schedule runs the canonical (convert=True) path; the default schedule
+    additionally runs the Montgomery-chaining (convert=False) path used by
+    the sponge/Merkle pipelines. Defaults: one 128-lane tile under
+    emulation, the bench shape (2048, 2^14) on hardware.
+    """
+    import jax.numpy as jnp
+
+    from .ops.perm_pallas import permute_pallas, permute_pallas_mont
+
+    if block is None:
+        block = N_VECTORS if emulate else BENCH_BLOCK
+    if lanes is None:
+        lanes = N_VECTORS if emulate else BENCH_LANES
+    inputs, expected, inputs_m, expected_m = (
+        _tile(a, lanes) for a in _vectors()
+    )
+    failures: list[str] = []
+    for sched in schedules:
+        out = np.asarray(
+            permute_pallas(
+                jnp.asarray(inputs), block=block, emulate=emulate,
+                schedule=sched,
+            )
+        )
+        if not np.array_equal(out, expected):
+            bad = int(np.argwhere(
+                (out != expected).any(axis=(1, 2))).reshape(-1)[0])
+            failures.append(
+                f"schedule {sched!r} (convert=True): lane {bad} mismatch"
+            )
+    if include_mont:
+        out_m = np.asarray(
+            permute_pallas_mont(
+                jnp.asarray(inputs_m), block=block, emulate=emulate
+            )
+        )
+        if not np.array_equal(out_m, expected_m):
+            bad = int(np.argwhere(
+                (out_m != expected_m).any(axis=(1, 2))).reshape(-1)[0])
+            failures.append(
+                f"convert=False (Montgomery chaining): lane {bad} mismatch"
+            )
+    return failures
+
+
+def assert_device_correct(
+    schedules=SCHEDULES,
+    *,
+    emulate: bool = False,
+    block: int | None = None,
+    lanes: int | None = None,
+    include_mont: bool = True,
+) -> None:
+    """Raise RuntimeError if any schedule's on-device output deviates from
+    the int oracle. The gate bench.py / entry() call before trusting the
+    backend."""
+    failures = verify_device(
+        schedules, emulate=emulate, block=block, lanes=lanes,
+        include_mont=include_mont,
+    )
+    if failures:
+        raise RuntimeError(
+            "on-device KAT verification FAILED (kernel output != int oracle): "
+            + "; ".join(failures)
+        )

@@ -61,11 +61,40 @@ def test_all_schedules_agree(rng):
     ref = np.asarray(
         permute_pallas(jnp.asarray(x), emulate=True, schedule="naive")
     )
-    for sched in ("opt", "mxu", "mxu8"):
+    for sched in ("opt", "mxu", "mxu8", "hyb"):
         got = np.asarray(
             permute_pallas(jnp.asarray(x), emulate=True, schedule=sched)
         )
         assert np.array_equal(got, ref), sched
+
+
+def test_hyb_expansion_matches_naive_int(rng):
+    # the full-expansion schedule (params.dot_schedule_int) reproduces the
+    # naive partial chain exactly, validated in pure int arithmetic
+    from hades252_tpu.params import (
+        PARTIAL_ROUNDS, TOTAL_FULL_ROUNDS, WIDTH, dot_schedule_int,
+        mds_matrix_int, round_constants_int,
+    )
+
+    mds = mds_matrix_int()
+    ark = round_constants_int()
+    half = TOTAL_FULL_ROUNDS // 2
+    x = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(WIDTH)]
+
+    st = list(x)
+    for r in range(PARTIAL_ROUNDS):
+        st = [(st[i] + ark[(half + r) * WIDTH + i]) % P for i in range(WIDTH)]
+        st[WIDTH - 1] = pow(st[WIDTH - 1], 5, P)
+        st = [sum(mds[k][j] * st[j] for j in range(WIDTH)) % P
+              for k in range(WIDTH)]
+
+    d = dot_schedule_int()
+    basis = [1] + list(x)
+    for r in range(PARTIAL_ROUNDS):
+        t = sum(c * b for c, b in zip(d["alpha"][r], basis)) % P
+        basis.append(pow(t, 5, P))
+    out = [sum(c * b for c, b in zip(row, basis)) % P for row in d["omega"]]
+    assert out == st
 
 
 def test_shape_validation():
@@ -83,3 +112,31 @@ def test_pallas_requires_tpu_clear_error(rng):
     x = rand_states(rng, 128)
     with pytest.raises(RuntimeError, match="requires a TPU backend"):
         permute_pallas(jnp.asarray(x), block=128)
+
+
+def test_selftest_gate_emulated():
+    # the on-device KAT gate (selftest.py), exercised here via the numpy
+    # emulation path; bench.py/entry() run the same gate on real TPU
+    from hades252_tpu import selftest
+
+    assert selftest.verify_device(emulate=True) == []
+    selftest.assert_device_correct(emulate=True)
+
+
+def test_selftest_gate_detects_mismatch(monkeypatch):
+    # sanity: the gate actually fails loudly when the backend lies
+    import hades252_tpu.selftest as st
+    from hades252_tpu.ops import perm_pallas
+
+    real = perm_pallas.permute_pallas
+
+    def corrupted(x, **kw):
+        out = np.asarray(real(x, **kw)).copy()
+        out[0, 0, 0] ^= 1
+        return out
+
+    monkeypatch.setattr(
+        "hades252_tpu.ops.perm_pallas.permute_pallas", corrupted
+    )
+    failures = st.verify_device(schedules=("mxu8",), emulate=True)
+    assert failures and "mxu8" in failures[0]
