@@ -35,3 +35,6 @@ doc:			## quick API surface listing
 
 clean:
 	rm -rf native/libhades_cpu.so **/__pycache__ .pytest_cache
+
+coverage:		## line-coverage gate (>=85%, mirroring the reference codecov policy)
+	$(PYTHON) tools/coverage_gate.py

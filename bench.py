@@ -56,7 +56,9 @@ def main():
         from hades252_tpu.ops.perm_pallas import permute_planar
 
         def f(a):
-            return permute_planar(a, block=2048)
+            # the fastest schedule: software-pipelined full-expansion
+            # partial rounds at its measured best block (PERF.md)
+            return permute_planar(a, block=1024, schedule="hybp")
     else:
         from hades252_tpu.ops.perm_ref import permute
 
@@ -194,6 +196,27 @@ def main_sponge():
     return 0
 
 
+def main_roofline():
+    """Explicit v5e roofline per schedule (utils/roofline.py): exact VPU
+    lane-op + MXU MAC counts from the instrumented kernel emulation, the
+    idealized ceiling, and the achieved fraction for a measured rate
+    passed as argv[2] (default: the BASELINE.md headline)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        jax.config.update("jax_platforms", "cpu")
+    from hades252_tpu.utils.roofline import roofline
+
+    measured = float(sys.argv[2]) if len(sys.argv) > 2 else 1.46e6
+    for sched in ("mxu8", "hyb", "hybp"):
+        r = roofline(sched, measured_perms_per_sec=(
+            measured if sched == "hybp" else None))
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in r.items()}))
+    return 0
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "perm"
-    sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge}[mode]())
+    sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge,
+              "roofline": main_roofline}[mode]())

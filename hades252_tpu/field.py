@@ -221,6 +221,37 @@ def quintic_sbox_mont(x: jnp.ndarray) -> jnp.ndarray:
     return mont_mul(x4, x)
 
 
+@jax.jit
+def invert(a: jnp.ndarray) -> jnp.ndarray:
+    """a^{-1} mod p for canonical digits; invert(0) = 0.
+
+    Completes the L0 surface of the replaced dependency (dusk-bls12_381's
+    BlsScalar::invert, SURVEY.md §1) as a TRACED op: Fermat exponentiation
+    a^(p-2) by square-and-multiply over the constant 255-bit exponent,
+    rolled into one lax.scan (255 iterations x ~2 Montgomery muls) so the
+    compiled body stays two muls deep. Unlike the reference (which returns
+    CtOption::none for 0), 0 maps to 0 — the natural fixed point of x^(p-2);
+    callers needing the distinction test for zero themselves."""
+    from .params import P
+
+    a_m = to_mont(a)
+    e = P - 2
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in reversed(range(e.bit_length()))],
+                 np.uint32)
+    )
+    one_m = to_mont(jnp.broadcast_to(
+        jnp.asarray(perm_constants_np()["one"]), a.shape
+    ))
+
+    def step(acc, bit):
+        acc = mont_mul(acc, acc)
+        return jnp.where(bit > 0, mont_mul(acc, a_m), acc), None
+
+    res, _ = jax.lax.scan(step, one_m, bits)
+    return from_mont(res)
+
+
 # ---------------------------------------------------------------------------
 # Host-side conveniences (numpy, non-traced) for tests and I/O
 # ---------------------------------------------------------------------------

@@ -123,6 +123,74 @@ def merkle_open(levels: list[jnp.ndarray], index: int):
     return path
 
 
+def merkle_open_compact(levels: list[jnp.ndarray], index: int):
+    """Compact opening for leaf `index`: per level only the 3 SIBLINGS
+    (ARITY-1) plus the node's position — proof size 3*32*height bytes, the
+    information-theoretic minimum for an arity-4 path (round-1 shipped the
+    full 4-child group, 4/3x larger).
+
+    Returns (siblings, positions): (height, ARITY-1, N_DIGITS) Montgomery
+    digits and (height,) int32 positions, ready for merkle_verify_batched.
+    """
+    if not 0 <= index < levels[0].shape[0]:
+        raise ValueError(f"leaf index {index} out of range")
+    sibs, poss = [], []
+    for level in levels[:-1]:
+        group = index // ARITY
+        pos = index % ARITY
+        g = level[group * ARITY : (group + 1) * ARITY]
+        sibs.append(jnp.concatenate([g[:pos], g[pos + 1 :]], axis=0))
+        poss.append(pos)
+        index = group
+    return jnp.stack(sibs), jnp.asarray(poss, jnp.int32)
+
+
+def merkle_open_batched(levels: list[jnp.ndarray], indices):
+    """Compact openings for many leaves: returns (K, height, ARITY-1, D)
+    siblings and (K, height) positions."""
+    sibs, poss = zip(*(merkle_open_compact(levels, int(i)) for i in indices))
+    return jnp.stack(sibs), jnp.stack(poss)
+
+
+def _insert_at(node, sibs, pos):
+    """Rebuild the ARITY-child group: node (K, D) placed at pos (K,) among
+    siblings (K, ARITY-1, D)."""
+    cols = []
+    for j in range(ARITY):
+        idx = jnp.clip(jnp.where(j > pos, j - 1, j), 0, ARITY - 2)
+        s = jnp.take_along_axis(sibs, idx[:, None, None], axis=1)[:, 0]
+        cols.append(jnp.where((pos == j)[:, None], node, s))
+    return jnp.stack(cols, axis=1)
+
+
+def merkle_verify_batched(root, leaves, sibs, poss, height: int,
+                          perm_mont_fn=None):
+    """Verify K compact openings with ONE batched permutation per level
+    (round-1 verified serially, one width-5 perm call per level per proof).
+
+    root: (N_DIGITS,) canonical; leaves: (K, N_DIGITS) canonical;
+    sibs: (K, height, ARITY-1, N_DIGITS) Montgomery (from
+    merkle_open_batched); poss: (K, height). height is REQUIRED for
+    soundness (the node rule is level-uniform, so an unbound path length
+    would let an internal node verify as a leaf). Returns (K,) bool.
+    """
+    if perm_mont_fn is None:
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
+    leaves = jnp.asarray(leaves)
+    if sibs.shape[1] != height or poss.shape[1] != height:
+        return jnp.zeros((leaves.shape[0],), bool)
+    k = leaves.shape[0]
+    node = field.to_mont(leaves)
+    tag = jnp.broadcast_to(_tag_mont(), (k, 1, N_DIGITS))
+    for lvl in range(height):
+        children = _insert_at(node, sibs[:, lvl], poss[:, lvl])
+        states = jnp.concatenate([tag, children], axis=1)
+        node = perm_mont_fn(states)[:, DIGEST_INDEX, :]
+    return jnp.all(field.from_mont(node) == jnp.asarray(root)[None], axis=-1)
+
+
 def merkle_verify(root, leaf, path, height, perm_mont_fn=None) -> bool:
     """Check an opening path (host-side; small fixed work).
 

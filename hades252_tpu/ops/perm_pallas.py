@@ -48,9 +48,15 @@ _MASK = np.uint32(DIGIT_MASK)
 _SH = DIGIT_BITS
 _D = N_DIGITS
 
-# Default lane-axis tile: 16 sublane-groups x 128 lanes — the measured
-# throughput knee on v5e; 4096 exceeds the 16MB scoped-VMEM limit.
+# Default lane-axis tile per schedule (measured throughput knees on v5e):
+# 2048 for the dense schedules; 1024 for the hyb/hybp basis-chain schedules
+# (their resident weights + basis buffer favor the smaller tile).
 DEFAULT_BLOCK = 2048
+DEFAULT_SCHEDULE = "hyb"
+
+
+def default_block(schedule: str = DEFAULT_SCHEDULE) -> int:
+    return 1024 if schedule in ("hyb", "hybp") else DEFAULT_BLOCK
 
 # Emulation toggle: when set the kernel body runs eagerly on NUMPY arrays
 # (identical uint32 wrap-around semantics, zero XLA compile) — the CPU test
@@ -670,12 +676,13 @@ def _recombine16_wide(cols):
     return xp.concatenate(rows, axis=0)
 
 
-def _redc_wide_big(t33, ops, pmul_ref):
-    """Montgomery-reduce a CARRIED 33-digit value T < 65 p^2 (the
+def _redc_wide_big(t33, ops, pmul_ref, n_subs: int = 5):
+    """Montgomery-reduce a CARRIED 33-digit value T < k p^2, k <= 65 (the
     full-expansion dot accumulates up to 65 Montgomery products; 65 p^2 <
-    2^517 fits 33 digits). t = (T + m p)/R < 65 p^2/R + p < 31p; a
-    16/8/4/2/1 conditional-subtract ladder (pmul_ref rows, 17-digit
-    multiples of p) normalizes any value < 32p to < p."""
+    2^517 fits 33 digits). t = (T + m p)/R < k p^2/R + p < (0.46 k + 1) p;
+    a binary conditional-subtract ladder (pmul_ref rows: 16p, 8p, 4p, 2p,
+    p as 17-digit multiples) normalizes any value < 2^n_subs p to < p —
+    callers pass the n_subs their k warrants (k<=6: 2, k<=32: 4, else 5)."""
     xp = _xp()
     m_cols = ops.dot_pp(_byte_rows_u32(t33[:_D]))              # (32, B)
     m = _carry(_recombine16(m_cols, _D))                       # exact mod R
@@ -684,8 +691,14 @@ def _redc_wide_big(t33, ops, pmul_ref):
     zero = xp.zeros_like(mp[0:1])
     s = _carry(xp.concatenate([mp, zero], axis=0) + t33)       # 33 digits
     hi = s[_D:]                                                # 17 digits
-    for k in range(5):
+    for k in range(5 - n_subs, 5):
         hi = _cond_sub_p(hi, pmul_ref[k][:, None])
+    if _emu():
+        # sanitizer: the skipped ladder rungs must have been unnecessary
+        borrow, _ = _sub_borrow(
+            hi, xp.broadcast_to(pmul_ref[4][:, None], hi.shape)
+        )
+        assert int(borrow.min()) == 1, "wide-REDC ladder under-reduced"
     return hi[:_D]
 
 
@@ -743,7 +756,7 @@ def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         cs = cs + put_elem(1 + i, st[i])
 
     # --- the 59-round chain, two fixed-width segments ---------------------
-    def chain_seg(w_ref_s, rs_ref_s, n_rounds, base, k_elems, cs):
+    def chain_seg(w_ref_s, rs_ref_s, n_rounds, base, k_elems, cs, n_subs):
         kcols = 32 * k_elems
 
         def body(i, cs):
@@ -753,7 +766,7 @@ def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
             acc = _dot_i8_raw(w, y) + 128 * rs + 128 * cs
             cols = acc.astype(xp.uint32)         # byte columns of the dot
             t33 = _carry(_recombine16_wide(cols))
-            t = _redc_wide_big(t33, ops, pmul_ref)   # S-box input, < p
+            t = _redc_wide_big(t33, ops, pmul_ref, n_subs)  # S-box input
             s = ops.sbox_words([t])[0]
             by = _byte_rows_u32(s)
             _store_rows(y_ref, 32 * (1 + WIDTH + base + i),
@@ -762,14 +775,147 @@ def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
 
         return _fori(0, n_rounds, body, cs)
 
-    cs = chain_seg(w1_ref, rs1_ref, HYB_SEG1_ROUNDS, 0, HYB_SEG1_ELEMS, cs)
+    cs = chain_seg(w1_ref, rs1_ref, HYB_SEG1_ROUNDS, 0, HYB_SEG1_ELEMS, cs,
+                   n_subs=4)
     cs = chain_seg(w2_ref, rs2_ref, PARTIAL_ROUNDS - HYB_SEG1_ROUNDS,
-                   HYB_SEG1_ROUNDS, HYB_SEG2_ELEMS, cs)
+                   HYB_SEG1_ROUNDS, HYB_SEG2_ELEMS, cs, n_subs=5)
 
     # --- chain exit: all 5 output words in one matmul + one packed REDC ---
     y = y_ref[0:y_rows, :]
     acc = _dot_i8_raw(wout_ref[:], y) + 128 * rsout_ref[:] + 128 * cs
     cols = acc.astype(xp.uint32)                 # (315, B)
+    ts = [
+        _carry(_recombine16_wide(cols[k * 63 : (k + 1) * 63]))
+        for k in range(WIDTH)
+    ]
+    red = _redc_wide_big(xp.concatenate(ts, axis=1), ops, pmul_ref)
+    st = tuple(red[:, k * b : (k + 1) * b] for k in range(WIDTH))
+
+    st = _fori(half + PARTIAL_ROUNDS, ROUNDS,
+               lambda r, s: ops.round_fn(r, list(s), full=True), st)
+
+    for w in range(WIDTH):
+        out_ref[w] = (
+            _mont_mul(st[w], ops.one, ops.p, ops.pp) if convert else st[w]
+        )
+
+
+def _perm_kernel_hybp(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
+                      rslin_ref, rspp_ref, rsp_ref,
+                      wo1_ref, rso1_ref, wo2_ref, rso2_ref,
+                      wn_ref, rsn_ref,
+                      wout_ref, rsout_ref, pmul_ref, onem_ref,
+                      in_ref, out_ref, y_ref, *, convert: bool):
+    """Software-pipelined hyb: round r's BIG basis matmul excludes the
+    newest element s_{r-1} (a separate (63,32) Toeplitz matmul adds it), so
+    the big matmul for round r+1 depends only on elements through s_{r-1}
+    and is issued in the same iteration as round r's S-box chain — Mosaic
+    overlaps the MXU streaming with the serial VPU chains, taking the
+    matmul off the critical path (see params.hybp_weights_np)."""
+    from ..params import HYB_N_BASIS, HYB_SEG1_ELEMS, HYB_SEG1_ROUNDS
+
+    xp = _xp()
+
+    def mk(w_ref, rs_ref):
+        return lambda xb: _dot_u32_i8(w_ref[:], rs_ref[:], xb)
+
+    ops = _MxuOps(ark_ref, fc_ref, mk(wlin_ref, rslin_ref),
+                  mk(wpp_ref, rspp_ref), mk(wp_ref, rsp_ref))
+
+    if convert:
+        state = tuple(
+            _mont_mul(in_ref[w], ops.r2, ops.p, ops.pp) for w in range(WIDTH)
+        )
+    else:
+        state = tuple(in_ref[w] for w in range(WIDTH))
+
+    half = TOTAL_FULL_ROUNDS // 2
+    st = _fori(0, half,
+               lambda r, s: ops.round_fn(r, list(s), full=True), state)
+
+    b = st[0].shape[-1]
+    y_rows = 32 * HYB_N_BASIS
+    k1 = 32 * HYB_SEG1_ELEMS
+
+    _store_rows(y_ref, 0, xp.full((y_rows, b), -128, xp.int8))
+
+    def put_elem(j, digits16):
+        by = xp.broadcast_to(_byte_rows_u32(digits16), (2 * _D, b))
+        _store_rows(y_ref, 32 * j,
+                    (by.astype(xp.int32) - 128).astype(xp.int8))
+        return by.astype(xp.int32).sum(axis=0, keepdims=True)
+
+    cs = put_elem(0, onem_ref[0, :][:, None])
+    for i in range(WIDTH):
+        cs = cs + put_elem(1 + i, st[i])
+
+    def cdot(w, rs, kcols, cs):
+        """Corrected big dot over the first kcols basis rows of Y."""
+        return _dot_i8_raw(w, y_ref[0:kcols, :]) + 128 * rs + 128 * cs
+
+    def reduce_t(cols_i32, n_subs):
+        t33 = _carry(_recombine16_wide(cols_i32.astype(xp.uint32)))
+        return _redc_wide_big(t33, ops, pmul_ref, n_subs)
+
+    def new_part(i, sb):
+        """The newest element's contribution to round i's dot."""
+        s8 = (sb.astype(xp.int32) - 128).astype(xp.int8)
+        csn = sb.astype(xp.int32).sum(axis=0, keepdims=True)
+        part = _dot_i8_raw(wn_ref[i], s8) + 128 * rsn_ref[i] + 128 * csn
+        return part, csn, s8
+
+    # prologue: round 0 — every input is in Y; also issue round 1's big dot
+    cols0 = cdot(wo1_ref[0], rso1_ref[0], k1, cs)
+    d_old = cdot(wo1_ref[1], rso1_ref[1], k1, cs)
+    s_prev = ops.sbox_words([reduce_t(cols0, n_subs=2)])[0]  # s_0 (k = 6)
+
+    def make_body(kcols, wo_ref_s, rso_ref_s, idx_off, n_subs):
+        def body(i, carry):
+            cs, s_prev, d_old = carry
+            sb = _byte_rows_u32(s_prev)
+            npart, csn, s8 = new_part(i, sb)
+            t = reduce_t(d_old + npart, n_subs)
+            _store_rows(y_ref, 32 * (5 + i), s8)   # s_{i-1} enters the basis
+            cs = cs + csn
+            d_next = cdot(wo_ref_s[i - idx_off], rso_ref_s[i - idx_off],
+                          kcols, cs)               # round i+1's big dot
+            s = ops.sbox_words([t])[0]             # overlaps d_next on MXU
+            return cs, s, d_next
+        return body
+
+    k2 = 32 * 2 * HYB_SEG1_ELEMS  # seg2 width (64 elements)
+    seg1_last = HYB_SEG1_ROUNDS - 1  # round 26, peeled (next dot is seg2)
+    carry = (cs, s_prev, d_old)
+    # rounds 1..25: next dot stays in seg1 (wo1[i+1] -> idx_off = -1)
+    carry = _fori(1, seg1_last,
+                  make_body(k1, wo1_ref, rso1_ref, -1, n_subs=4), carry)
+    # round 26 peeled: next dot (round 27) uses seg2 width
+    cs, s_prev, d_old = carry
+    sb = _byte_rows_u32(s_prev)
+    npart, csn, s8 = new_part(seg1_last, sb)
+    t = reduce_t(d_old + npart, n_subs=4)
+    _store_rows(y_ref, 32 * (5 + seg1_last), s8)
+    cs = cs + csn
+    d_old = cdot(wo2_ref[0], rso2_ref[0], k2, cs)
+    s_prev = ops.sbox_words([t])[0]
+    # rounds 27..57: wo2[i - 26] is round i+1 (wo2[j] = round 27 + j)
+    carry = _fori(HYB_SEG1_ROUNDS, PARTIAL_ROUNDS - 1,
+                  make_body(k2, wo2_ref, rso2_ref, 26, n_subs=5),
+                  (cs, s_prev, d_old))
+    # round 58 peeled: no further big dot; finish the chain
+    cs, s_prev, d_old = carry
+    sb = _byte_rows_u32(s_prev)
+    npart, csn, s8 = new_part(PARTIAL_ROUNDS - 1, sb)
+    t = reduce_t(d_old + npart, n_subs=5)
+    _store_rows(y_ref, 32 * (4 + PARTIAL_ROUNDS), s8)  # s_57, element 63
+    cs = cs + csn
+    s_last = ops.sbox_words([t])[0]                    # s_58
+    cs = cs + put_elem(HYB_N_BASIS - 1, s_last)
+
+    # chain exit + final full rounds (same as hyb)
+    acc = _dot_i8_raw(wout_ref[:], y_ref[0:y_rows, :]) \
+        + 128 * rsout_ref[:] + 128 * cs
+    cols = acc.astype(xp.uint32)
     ts = [
         _carry(_recombine16_wide(cols[k * 63 : (k + 1) * 63]))
         for k in range(WIDTH)
@@ -807,7 +953,7 @@ class _HostRef:
 
 
 def permute_planar_emulated(x, *, convert: bool = True,
-                            schedule: str = "mxu8"):
+                            schedule: str = DEFAULT_SCHEDULE):
     """Run the EXACT kernel body (_perm_kernel) eagerly on numpy arrays.
 
     Mosaic interpret mode executes this kernel orders of magnitude too
@@ -818,7 +964,7 @@ def permute_planar_emulated(x, *, convert: bool = True,
     match XLA's exactly. The Mosaic lowering itself is exercised on real TPU
     by bench.py and the driver's entry() compile check.
     """
-    x = np.asarray(x)
+    x = np.asanyarray(x)  # asANYarray: keep ndarray subclasses (roofline counting)
     if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != np.uint32:
         raise ValueError(
             f"expected ({WIDTH}, {N_DIGITS}, B) uint32, got {x.shape} {x.dtype}"
@@ -850,6 +996,15 @@ def permute_planar_emulated(x, *, convert: bool = True,
                 np.empty((_hyb_scratch_rows(), x.shape[2]), np.int8)
             )
             _perm_kernel_hyb(
+                *[_HostRef(a) for a in consts], _HostRef(x), out, y,
+                convert=convert,
+            )
+        elif schedule == "hybp":
+            consts = _const_arrays_hybp()
+            y = _HostRef(
+                np.empty((_hyb_scratch_rows(), x.shape[2]), np.int8)
+            )
+            _perm_kernel_hybp(
                 *[_HostRef(a) for a in consts], _HostRef(x), out, y,
                 convert=convert,
             )
@@ -929,6 +1084,26 @@ def _hyb_scratch_rows() -> int:
 
 
 @functools.cache
+def _const_arrays_hybp():
+    """Pipelined-hyb weights (see params.hybp_weights_np)."""
+    from ..params import hybp_weights_np, mxu_weights_np
+
+    c = perm_constants_np()
+    w = mxu_weights_np()
+    h = hybp_weights_np()
+    fc = np.stack([c["p"], c["p_prime"], c["r2"], c["one"]])
+    s8, rs = [], []
+    for key in ("w_lin", "w_pp", "w_p"):
+        ws = (w[key].astype(np.int32) - 128).astype(np.int8)
+        s8.append(ws)
+        rs.append(ws.astype(np.int32).sum(axis=1, keepdims=True))
+    return (c["ark_mont"], fc, *s8, *rs,
+            h["wo_seg1"], h["rso_seg1"], h["wo_seg2"], h["rso_seg2"],
+            h["w_new"], h["rs_new"],
+            h["w_out"], h["rs_out"], h["pmul17"], h["one_mont"][None])
+
+
+@functools.cache
 def _const_arrays_mxu(as_bf16: bool):
     from ..params import mxu_weights_np
 
@@ -949,21 +1124,31 @@ def _const_arrays_mxu(as_bf16: bool):
     jax.jit, static_argnames=("block", "interpret", "convert", "schedule")
 )
 def permute_planar(
-    x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-    convert: bool = True, schedule: str = "mxu8",
+    x, *, block: int | None = None, interpret: bool = False,
+    convert: bool = True, schedule: str = DEFAULT_SCHEDULE,
 ):
     """Fused-kernel permutation on planar state.
 
     x: (WIDTH, N_DIGITS, B) uint32, B a multiple of `block` (the per-tile
-    batch width; multiples of 128 lanes). Returns the same shape/layout.
+    batch width; multiples of 128 lanes; None = the schedule's measured
+    default). Returns the same shape/layout.
     convert=True: x is canonical digits. convert=False: x is already in the
     Montgomery domain and stays there (for perm-chaining pipelines).
-    schedule: "mxu8" (constant products as offset-encoded int8 matmuls,
-    the fastest), "mxu" (same structure, bf16 matmuls), "opt" (VPU-only:
-    sparse partial rounds + lazy reduction), or "naive" (the direct
-    transcription of the reference round loop); bit-identical outputs,
-    tested against each other and the oracle.
+    schedule — bit-identical outputs, tested against each other and the
+    oracle; by descending measured v5e throughput:
+      "hybp"  full-expansion partial rounds, software-pipelined so the big
+              basis matmul overlaps the S-box chain (~1.47M perms/s;
+              biggest Mosaic trace, slowest compile),
+      "hyb"   full-expansion partial rounds (~1.40M perms/s) — the default,
+      "mxu8"  dense rounds, constant products as offset-encoded int8
+              matmuls (~1.0M perms/s),
+      "mxu"   same structure with bf16 matmuls,
+      "opt"   VPU-only sparse partial rounds + lazy reduction,
+      "naive" direct transcription of the reference round loop (the
+              in-kernel oracle).
     """
+    if block is None:
+        block = default_block(schedule)
     if x.shape[:2] != (WIDTH, N_DIGITS) or x.dtype != jnp.uint32:
         raise ValueError(
             f"expected ({WIDTH}, {N_DIGITS}, B) uint32, got {x.shape} {x.dtype}"
@@ -997,9 +1182,13 @@ def permute_planar(
     elif schedule == "mxu8":
         consts = _const_arrays_mxu8()
         kernel = functools.partial(_perm_kernel_mxu8, convert=convert)
-    elif schedule == "hyb":
-        consts = _const_arrays_hyb()
-        kernel = functools.partial(_perm_kernel_hyb, convert=convert)
+    elif schedule in ("hyb", "hybp"):
+        if schedule == "hyb":
+            consts = _const_arrays_hyb()
+            kernel = functools.partial(_perm_kernel_hyb, convert=convert)
+        else:
+            consts = _const_arrays_hybp()
+            kernel = functools.partial(_perm_kernel_hybp, convert=convert)
         scratch_shapes = [
             pltpu.VMEM((_hyb_scratch_rows(), block), jnp.int8)
         ]
@@ -1025,8 +1214,8 @@ def permute_planar(
     )(*consts, x)
 
 
-def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                   emulate: bool = False, schedule: str = "mxu8"):
+def permute_pallas(x, *, block: int | None = None, interpret: bool = False,
+                   emulate: bool = False, schedule: str = DEFAULT_SCHEDULE):
     """Fused-kernel permutation on batch-major canonical state.
 
     Drop-in fast path for ops/perm_ref.permute: x is (B, WIDTH, N_DIGITS)
@@ -1038,8 +1227,9 @@ def permute_pallas(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
                         emulate=emulate, schedule=schedule)
 
 
-def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = False,
-                        emulate: bool = False, schedule: str = "mxu8"):
+def permute_pallas_mont(x, *, block: int | None = None,
+                        interpret: bool = False, emulate: bool = False,
+                        schedule: str = DEFAULT_SCHEDULE):
     """Like permute_pallas but on Montgomery-domain state (no conversions);
     the building block for sponge/Merkle pipelines that chain permutations."""
     return _batch_major(x, block=block, interpret=interpret, convert=False,
@@ -1047,7 +1237,9 @@ def permute_pallas_mont(x, *, block: int = DEFAULT_BLOCK, interpret: bool = Fals
 
 
 def _batch_major(x, *, block, interpret, convert, emulate=False,
-                 schedule="mxu8"):
+                 schedule=DEFAULT_SCHEDULE):
+    if block is None:
+        block = default_block(schedule)
     x = jnp.asarray(x)
     if x.ndim != 3 or x.shape[1:] != (WIDTH, N_DIGITS):
         raise ValueError(f"expected (B, {WIDTH}, {N_DIGITS}), got {x.shape}")

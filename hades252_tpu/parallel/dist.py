@@ -22,6 +22,8 @@ north star. Design:
 
 from __future__ import annotations
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -33,6 +35,49 @@ from ..params import N_DIGITS, WIDTH
 from ..utils import metrics
 
 AXIS = "data"
+
+#: Jitted shard_map closures cached per live Mesh, so repeated sharded
+#: calls hit jax's C++ fastpath with no rebuild/retrace (round-1 rebuilt
+#: the closure on every call as a segfault workaround). Root cause
+#: narrowed this round: while ANY sharded executable is held alive, a
+#: later unrelated PERSISTENT-compile-cache read segfaults inside jax's
+#: executable deserialization (_cache_read; deterministic in the CPU test
+#: suite, which enables the persistent cache for its scan-heavy compiles).
+#: The executables themselves are fine — only the combination
+#: {live sharded executable} x {persistent-cache read} crashes. So the
+#: cache activates exactly when no persistent compile cache is configured
+#: (the TPU/production paths — bench.py, entry(), deployments — which is
+#: where the per-call retrace overhead mattered), and falls back to
+#: per-call rebuild when one is (the CPU test suite). Entries are
+#: immortal while their mesh lives (the closure references the mesh
+#: through its shardings); clear_sharded_cache() drops them explicitly.
+_SHARDED_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _caching_safe() -> bool:
+    return not jax.config.jax_compilation_cache_dir
+
+
+def clear_sharded_cache() -> None:
+    """Drop every cached sharded executable (frees device memory and the
+    mesh references; see _SHARDED_CACHE)."""
+    for per_mesh in _SHARDED_CACHE.values():
+        for fn in per_mesh.values():
+            try:
+                fn.clear_cache()
+            except AttributeError:
+                pass
+    _SHARDED_CACHE.clear()
+
+
+def _cached_jit(mesh: Mesh, key, build):
+    if not _caching_safe():
+        return jax.jit(build())
+    per_mesh = _SHARDED_CACHE.setdefault(mesh, {})
+    fn = per_mesh.get(key)
+    if fn is None:
+        fn = per_mesh[key] = jax.jit(build())
+    return fn
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -55,19 +100,15 @@ def permute_sharded(x: jnp.ndarray, mesh: Mesh, perm_fn=None) -> jnp.ndarray:
         raise ValueError(
             f"batch {x.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
         )
-    # NOTE: the jitted shard_map closure is deliberately rebuilt per call.
-    # Caching it (functools.lru_cache on (mesh, fn)) keeps executables alive
-    # across unrelated later compilations and segfaults inside jax's
-    # persistent-cache deserialization on this jax version — reproduced
-    # deterministically by tests/test_dist.py followed by test_models.py.
-    # The retrace cost is bounded by jax's internal C++ fastpath cache
-    # while the arguments' shapes/shardings repeat.
-    fn = shard_map(
-        perm_fn, mesh=mesh, in_specs=P(AXIS, None, None),
-        out_specs=P(AXIS, None, None), check_vma=False,
+    jfn = _cached_jit(
+        mesh, ("perm", perm_fn),
+        lambda: shard_map(
+            perm_fn, mesh=mesh, in_specs=P(AXIS, None, None),
+            out_specs=P(AXIS, None, None), check_vma=False,
+        ),
     )
     x = jax.device_put(x, NamedSharding(mesh, P(AXIS, None, None)))
-    return jax.jit(fn)(x)
+    return jfn(x)
 
 
 def sponge_hash_sharded(msgs: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
@@ -82,14 +123,17 @@ def sponge_hash_sharded(msgs: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
         raise ValueError(
             f"batch {msgs.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
         )
-    fn = shard_map(
-        lambda m: sponge_hash(m, perm_mont_fn),
-        mesh=mesh,
-        in_specs=P(AXIS, None, None),
-        out_specs=P(AXIS, None), check_vma=False,
+    jfn = _cached_jit(
+        mesh, ("sponge", perm_mont_fn),
+        lambda: shard_map(
+            lambda m: sponge_hash(m, perm_mont_fn),
+            mesh=mesh,
+            in_specs=P(AXIS, None, None),
+            out_specs=P(AXIS, None), check_vma=False,
+        ),
     )
     msgs = jax.device_put(msgs, NamedSharding(mesh, P(AXIS, None, None)))
-    return jax.jit(fn)(msgs)
+    return jfn(msgs)
 
 
 def _local_tree_height(n_local: int) -> int:
@@ -129,9 +173,12 @@ def merkle_root_sharded(leaves: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
             level = _level_up(level, perm_mont_fn)
         return field.from_mont(level)
 
-    fn = shard_map(
-        build, mesh=mesh, in_specs=P(AXIS, None), out_specs=P(None, None),
-        check_vma=False,
+    jfn = _cached_jit(
+        mesh, ("merkle", perm_mont_fn, h_local, total_h),
+        lambda: shard_map(
+            build, mesh=mesh, in_specs=P(AXIS, None),
+            out_specs=P(None, None), check_vma=False,
+        ),
     )
     padded = jax.device_put(padded, NamedSharding(mesh, P(AXIS, None)))
     metrics.count("dist.merkle_builds", 1)
@@ -143,7 +190,7 @@ def merkle_root_sharded(leaves: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
         (gathered - gathered // n_dev) * N_DIGITS * 4,
     )
     with metrics.timer("dist.merkle_wall"):
-        out = jax.jit(fn)(padded)
+        out = jfn(padded)
         # fetch a scalar reduction rather than block_until_ready: through the
         # axon TPU relay block_until_ready does not actually block, so the
         # timer would under-report (CLAUDE.md); a 4-byte fetch forces

@@ -472,6 +472,57 @@ def hyb_weights_np() -> dict[str, np.ndarray]:
 
 
 @functools.cache
+def hybp_weights_np() -> dict[str, np.ndarray]:
+    """Software-pipelined variant of hyb_weights_np.
+
+    Round r's dot splits into W_r = Wo_r + [newest column block]: Wo_r
+    zeroes the coefficient block of the NEWEST basis element (s_{r-1}),
+    which is only produced by the previous round's S-box; the newest
+    element's contribution comes from a separate small (63, 32) Toeplitz
+    matmul. The big Wo matmul for round r+1 then depends only on elements
+    through s_{r-1} and can be computed while round r's S-box chain is in
+    flight — the MXU work leaves the serial critical path.
+
+    Keys: wo_seg1/rso_seg1 (27 rounds: round 0 keeps its full W since all
+    its inputs are available at init), wo_seg2/rso_seg2 (rounds 27..58),
+    w_new/rs_new (59, 63, 32; row 0 unused), plus w_out/rs_out/pmul17/
+    one_mont identical to hyb_weights_np.
+    """
+    d = dot_schedule_int()
+    alpha = d["alpha"]
+
+    def wo_block(r, n_pad):
+        coeffs = list(alpha[r])
+        if r > 0:
+            coeffs[-1] = 0  # newest element handled by w_new
+        return _offset_i8(_coeff_row_block(coeffs, n_pad))
+
+    def new_block(r):
+        w = np.zeros((63, 32), np.float32)
+        if r > 0 and alpha[r][-1]:
+            w[:] = _toeplitz_rows(_to_mont(alpha[r][-1]), 63)
+        return _offset_i8(w)
+
+    seg1 = [wo_block(r, HYB_SEG1_ELEMS) for r in range(HYB_SEG1_ROUNDS)]
+    seg2 = [wo_block(r, HYB_SEG2_ELEMS)
+            for r in range(HYB_SEG1_ROUNDS, PARTIAL_ROUNDS)]
+    new = [new_block(r) for r in range(PARTIAL_ROUNDS)]
+    base = hyb_weights_np()
+    return {
+        "wo_seg1": np.stack([s for s, _ in seg1]),
+        "rso_seg1": np.stack([r for _, r in seg1]),
+        "wo_seg2": np.stack([s for s, _ in seg2]),
+        "rso_seg2": np.stack([r for _, r in seg2]),
+        "w_new": np.stack([s for s, _ in new]),
+        "rs_new": np.stack([r for _, r in new]),
+        "w_out": base["w_out"],
+        "rs_out": base["rs_out"],
+        "pmul17": base["pmul17"],
+        "one_mont": base["one_mont"],
+    }
+
+
+@functools.cache
 def opt_schedule_np() -> dict[str, np.ndarray]:
     """Montgomery-form limb arrays for the sparse partial-round schedule
     (optimized_partial_int) plus the full-round constants, consumed by the

@@ -33,10 +33,10 @@ from .utils.encoding import ints_to_digits
 #: Distinct known-answer states (the 4 SURVEY §2.3 vectors + seeded random).
 N_VECTORS = 128
 
-SCHEDULES = ("naive", "opt", "mxu", "mxu8", "hyb")
+SCHEDULES = ("naive", "opt", "mxu", "mxu8", "hyb", "hybp")
 
 #: Device-gate shape: must match bench.py so executables are shared.
-BENCH_BLOCK = 2048
+BENCH_BLOCK = 1024
 BENCH_LANES = 1 << 14
 
 

@@ -47,3 +47,20 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0xBEEF)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop live executables between test modules.
+
+    XLA:CPU's executable (de)serialization segfaults once a process holds
+    enough live compiled executables (diagnosed round 2: the full suite
+    crashes inside jax's persistent-cache serialize/deserialize at a fixed
+    test position, while every module passes standalone; memory is not the
+    limit). Keeping the live-executable count bounded per module avoids
+    the crash; re-compiles hit the persistent cache as cheap reads.
+    """
+    import jax
+
+    jax.clear_caches()
+    yield

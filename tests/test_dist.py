@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from hades252_tpu import field
 from hades252_tpu.models import merkle, sponge
 from hades252_tpu.parallel import dist
 from hades252_tpu.params import P
@@ -78,3 +79,32 @@ def test_batch_divisibility_validation(rng, mesh8):
     x = jnp.zeros((10, 5, 16), jnp.uint32)
     with pytest.raises(ValueError):
         dist.permute_sharded(x, mesh8)
+
+
+def test_sharded_executable_cached(rng):
+    # repeated sharded calls reuse the cached jitted closure when no
+    # persistent compile cache is configured (the TPU/production paths);
+    # with one configured (this suite) the cache must stay inert — holding
+    # sharded executables alive segfaults later persistent-cache reads
+    # (see dist._SHARDED_CACHE)
+    from hades252_tpu.parallel.dist import _SHARDED_CACHE
+
+    mesh = dist.make_mesh(2)
+    x = jnp.asarray(field.np_random_elements((4, 5), rng))
+    out0 = dist.permute_sharded(x, mesh)
+    assert mesh not in _SHARDED_CACHE  # inert under the persistent cache
+
+    cache_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        out1 = dist.permute_sharded(x, mesh)
+        n_entries = len(_SHARDED_CACHE[mesh])
+        out2 = dist.permute_sharded(x, mesh)
+        assert len(_SHARDED_CACHE[mesh]) == n_entries
+        assert np.array_equal(np.asarray(out1), np.asarray(out2))
+        assert np.array_equal(np.asarray(out0), np.asarray(out1))
+    finally:
+        # drop the live executables BEFORE re-enabling the persistent
+        # cache, or every later compile in the session may segfault
+        dist.clear_sharded_cache()
+        jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -110,3 +110,23 @@ def test_encoding_round_trip(rng):
     back = encoding.bytes_to_digits(blob, (8,))
     assert np.array_equal(back, d)
     assert list(digits_to_ints(d)) == vals
+
+
+def test_invert(rng):
+    # L0 parity: BlsScalar::invert (SURVEY.md §1); Fermat via traced scan
+    from hades252_tpu.params import P, digits_to_int
+
+    x = field.np_random_elements((4,), rng)
+    inv = np.asarray(field.invert(jnp.asarray(x)))
+    for i in range(4):
+        v = digits_to_int(x[i])
+        assert digits_to_int(inv[i]) == pow(v, -1, P)
+    # 0 -> 0 (documented deviation from the reference's CtOption::none)
+    zero = np.zeros((1, 16), np.uint32)
+    assert np.array_equal(np.asarray(field.invert(jnp.asarray(zero))), zero)
+    # a * a^{-1} == 1 through the field's own mul
+    one = np.asarray(field.mont_mul(field.to_mont(jnp.asarray(x)),
+                                    field.to_mont(jnp.asarray(inv))))
+    one = np.asarray(field.from_mont(jnp.asarray(one)))
+    for i in range(4):
+        assert digits_to_int(one[i]) == 1

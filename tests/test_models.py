@@ -196,3 +196,59 @@ def test_shape_validation():
         sponge.sponge_hash(jnp.zeros((3, 16), jnp.uint32))
     with pytest.raises(ValueError):
         merkle.merkle_root(jnp.zeros((4, 4, 16), jnp.uint32))
+
+
+# -- compact batched Merkle openings (round-2) -------------------------------
+
+
+def test_merkle_compact_proofs_batch(rng):
+    from hades252_tpu import field
+    from hades252_tpu.models.merkle import (
+        merkle_levels, merkle_open_batched, merkle_root,
+        merkle_verify_batched, tree_levels,
+    )
+
+    n = 64
+    leaves = jnp.asarray(ints_to_digits(list(range(3, 3 + n)), shape=(n,)))
+    root = merkle_root(leaves)
+    levels = merkle_levels(leaves)
+    h = tree_levels(n)
+    idx = [0, 1, 17, 42, 63]
+    sibs, poss = merkle_open_batched(levels, idx)
+    assert sibs.shape == (len(idx), h, 3, 16)  # 3 siblings/level: compact
+    ok = merkle_verify_batched(root, leaves[jnp.asarray(idx)], sibs, poss, h)
+    assert bool(jnp.all(ok))
+
+    # wrong leaf fails only for the tampered row
+    bad_leaves = leaves[jnp.asarray(idx)].at[2, 0].add(1)
+    ok2 = merkle_verify_batched(root, bad_leaves, sibs, poss, h)
+    assert list(np.asarray(ok2)) == [True, True, False, True, True]
+
+    # tampered sibling fails
+    bad_sibs = sibs.at[0, 1, 0, 0].add(1)
+    ok3 = merkle_verify_batched(root, leaves[jnp.asarray(idx)], bad_sibs,
+                                poss, h)
+    assert not bool(ok3[0]) and bool(ok3[1])
+
+    # height binding: truncated path is rejected wholesale
+    ok4 = merkle_verify_batched(root, leaves[jnp.asarray(idx)],
+                                sibs[:, :-1], poss[:, :-1], h)
+    assert not bool(jnp.any(ok4))
+
+
+def test_merkle_compact_matches_legacy(rng):
+    from hades252_tpu.models.merkle import (
+        merkle_levels, merkle_open, merkle_open_batched, merkle_root,
+        merkle_verify, merkle_verify_batched, tree_levels,
+    )
+
+    n = 16
+    leaves = jnp.asarray(ints_to_digits(list(range(n)), shape=(n,)))
+    root = merkle_root(leaves)
+    levels = merkle_levels(leaves)
+    h = tree_levels(n)
+    path = merkle_open(levels, 5)
+    assert merkle_verify(root, ints_to_digits([5])[0], path, h)
+    sibs, poss = merkle_open_batched(levels, [5])
+    ok = merkle_verify_batched(root, leaves[5:6], sibs, poss, h)
+    assert bool(ok[0])

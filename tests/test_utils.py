@@ -135,3 +135,17 @@ def test_digits_bytes_roundtrip(rng):
     vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(6)]
     d = ints_to_digits(vals, shape=(2, 3))
     assert np.array_equal(bytes_to_digits(digits_to_bytes(d), (2, 3)), d)
+
+
+def test_roofline_counts():
+    # exact op counts from the instrumented emulation (utils/roofline.py);
+    # guards the ceiling model against drifting from the kernel source
+    from hades252_tpu.utils.roofline import count_ops, roofline
+
+    ops = count_ops("hyb", lanes=128)
+    assert ops["mxu_macs_per_perm"] > 1e6      # basis matmuls
+    assert ops["vpu_ops_per_perm"] > 1e5
+    r = roofline("hyb", lanes=128, measured_perms_per_sec=1.4e6)
+    assert r["binding_resource"] in ("vpu", "mxu", "hbm")
+    assert 0 < r["achieved_fraction"] < 1
+    assert r["ceiling_perms_per_sec"] > r["achieved_fraction"] * 1e6
