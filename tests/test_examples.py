@@ -11,7 +11,7 @@ import sys
 
 import pytest
 
-from .conftest import _cpu_cache_dir
+from conftest import _cpu_cache_dir
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
