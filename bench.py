@@ -207,7 +207,7 @@ def main_roofline():
         jax.config.update("jax_platforms", "cpu")
     from hades252_tpu.utils.roofline import roofline
 
-    measured = float(sys.argv[2]) if len(sys.argv) > 2 else 1.46e6
+    measured = float(sys.argv[2]) if len(sys.argv) > 2 else 1.67e6
     for sched in ("mxu8", "hyb", "hybp"):
         r = roofline(sched, measured_perms_per_sec=(
             measured if sched == "hybp" else None))

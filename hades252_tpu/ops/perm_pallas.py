@@ -52,7 +52,7 @@ _D = N_DIGITS
 # 2048 for the dense schedules; 1024 for the hyb/hybp basis-chain schedules
 # (their resident weights + basis buffer favor the smaller tile).
 DEFAULT_BLOCK = 2048
-DEFAULT_SCHEDULE = "hyb"
+DEFAULT_SCHEDULE = "hybp"
 
 
 def default_block(schedule: str = DEFAULT_SCHEDULE) -> int:
@@ -476,7 +476,25 @@ def _recombine16(cols, n16):
     return xp.concatenate(rows, axis=0)
 
 
-def _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17, *, wide: bool):
+def _carry_lo(acc):
+    """Carry-normalize only the first 16 rows (T mod R — the part the
+    REDC's m-step must have exact); the low half's carry out is added into
+    row 16 and the high rows stay un-carried columns. Halves the length of
+    the serial input-carry chain: the final (T + mp) carry pass normalizes
+    the high half anyway."""
+    xp = _xp()
+    rows = []
+    carry = xp.zeros_like(acc[0:1])
+    for d in range(_D):
+        t = acc[d : d + 1] + carry
+        rows.append(t & _MASK)
+        carry = t >> _SH
+    rows.append(acc[_D : _D + 1] + carry)
+    return xp.concatenate(rows + [acc[_D + 1 :]], axis=0)
+
+
+def _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17, *, wide: bool,
+                    normalize: bool = True):
     """Montgomery-reduce n words at once, LANE-PACKED: the words are
     concatenated along the batch (lane) axis so every serial carry/borrow
     chain — the latency-bound part of the whole kernel — executes once on
@@ -485,15 +503,21 @@ def _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17, *, wide: bool):
     packed operand instead of n-block block-diagonal ones.
 
     ts: list of n UN-carried column arrays — (33, B) with T < 5p^2 when
-    wide=True (lazy dot accumulations), (32, B) with T < p^2 when wide=False
-    (S-box products). The input carry-normalization also happens packed —
-    one chain instead of n.
+    wide=True (lazy dot accumulations), (32, B) with T < 2.2p^2 when
+    wide=False (S-box products, inputs possibly un-normalized < 2p — see
+    normalize below). Only T mod R is carried before the m-step (_carry_lo);
+    the high half rides un-carried into the final sum's carry pass.
     wide: t < 3.3p needs two conditional subtracts; otherwise t < 2p, one.
+    normalize=False skips that last conditional subtract, returning < 2p —
+    valid ONLY for the S-box's x^2/x^4 intermediates: with x2 < 1.46p,
+    T = x2^2 < 2.11p^2 = 0.96 R p keeps REDC exact, and every digit still
+    fits (2p < 2^256); the x^5 product then satisfies T < 1.96p^2 < Rp and
+    its normalized output re-enters the < p invariant.
     """
     xp = _xp()
     n = len(ts)
     b = ts[0].shape[1]
-    tcat = _carry(ts[0] if n == 1 else xp.concatenate(ts, axis=1))
+    tcat = _carry_lo(ts[0] if n == 1 else xp.concatenate(ts, axis=1))
     m_cols = dot_pp(_byte_rows_u32(tcat[:_D]))              # (32, nB)
     m = _carry(_recombine16(m_cols, _D))                    # exact mod R
     mp_cols = dot_p(_byte_rows_u32(m))                      # (63, nB)
@@ -504,8 +528,15 @@ def _redc_words_mxu(ts, dot_pp, dot_p, p, p17, twop17, *, wide: bool):
         hi = _cond_sub_p(s[_D:], twop17)  # 17 digits < 3.3p
         out = _cond_sub_p(hi, p17)[:_D]
     else:
-        s = _carry(mp + tcat)  # T + m*p < p^2 + Rp < 2^512
-        out = _cond_sub_p(s[_D:], p)  # < 2p
+        s = _carry(mp + tcat)  # T + m*p < 2.2p^2 + Rp < 2^512
+        out = s[_D:]
+        if normalize:
+            out = _cond_sub_p(out, p)  # < 2p -> < p
+        elif _emu():
+            # sanitizer: the un-normalized output must stay < 2p
+            twop16 = _carry(xp.broadcast_to(p, out.shape) * np.uint32(2))
+            borrow, _ = _sub_borrow(out, twop16)
+            assert int(borrow.min()) == 1, "skipped cond-sub bound broken"
     if n == 1:
         return [out]
     return [out[:, k * b : (k + 1) * b] for k in range(n)]
@@ -553,14 +584,18 @@ class _MxuOps:
         self.ark_ref = ark_ref
         self.dot_lin, self.dot_pp, self.dot_p = dot_lin, dot_pp, dot_p
 
-    def redc_words(self, ts):
+    def redc_words(self, ts, normalize=True):
         return _redc_words_mxu(ts, self.dot_pp, self.dot_p, self.p,
-                               self.p17, self.twop17, wide=False)
+                               self.p17, self.twop17, wide=False,
+                               normalize=normalize)
 
     def sbox_words(self, ws):
-        """x^5 on each word; squares/products on VPU, reductions on MXU."""
-        x2 = self.redc_words([_sqr_cols(w_) for w_ in ws])
-        x4 = self.redc_words([_sqr_cols(w_) for w_ in x2])
+        """x^5 on each word; squares/products on VPU, reductions on MXU.
+        The x^2/x^4 intermediates skip their conditional subtract (< 2p is
+        fine for the next stage's REDC bound — see _redc_words_mxu); only
+        the final x^5 re-normalizes to < p."""
+        x2 = self.redc_words([_sqr_cols(w_) for w_ in ws], normalize=False)
+        x4 = self.redc_words([_sqr_cols(w_) for w_ in x2], normalize=False)
         return self.redc_words(
             [_mul_cols(a, b, 2 * _D) for a, b in zip(x4, ws)]
         )
@@ -677,7 +712,8 @@ def _recombine16_wide(cols):
 
 
 def _redc_wide_big(t33, ops, pmul_ref, n_subs: int = 5):
-    """Montgomery-reduce a CARRIED 33-digit value T < k p^2, k <= 65 (the
+    """Montgomery-reduce a _carry_lo'd 33-digit value T < k p^2, k <= 65
+    (low 16 digits exact, high rows possibly un-carried columns) — (the
     full-expansion dot accumulates up to 65 Montgomery products; 65 p^2 <
     2^517 fits 33 digits). t = (T + m p)/R < k p^2/R + p < (0.46 k + 1) p;
     a binary conditional-subtract ladder (pmul_ref rows: 16p, 8p, 4p, 2p,
@@ -765,7 +801,7 @@ def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
             y = y_ref[0:kcols, :]
             acc = _dot_i8_raw(w, y) + 128 * rs + 128 * cs
             cols = acc.astype(xp.uint32)         # byte columns of the dot
-            t33 = _carry(_recombine16_wide(cols))
+            t33 = _carry_lo(_recombine16_wide(cols))
             t = _redc_wide_big(t33, ops, pmul_ref, n_subs)  # S-box input
             s = ops.sbox_words([t])[0]
             by = _byte_rows_u32(s)
@@ -785,7 +821,7 @@ def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
     acc = _dot_i8_raw(wout_ref[:], y) + 128 * rsout_ref[:] + 128 * cs
     cols = acc.astype(xp.uint32)                 # (315, B)
     ts = [
-        _carry(_recombine16_wide(cols[k * 63 : (k + 1) * 63]))
+        _carry_lo(_recombine16_wide(cols[k * 63 : (k + 1) * 63]))
         for k in range(WIDTH)
     ]
     red = _redc_wide_big(xp.concatenate(ts, axis=1), ops, pmul_ref)
@@ -854,7 +890,7 @@ def _perm_kernel_hybp(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         return _dot_i8_raw(w, y_ref[0:kcols, :]) + 128 * rs + 128 * cs
 
     def reduce_t(cols_i32, n_subs):
-        t33 = _carry(_recombine16_wide(cols_i32.astype(xp.uint32)))
+        t33 = _carry_lo(_recombine16_wide(cols_i32.astype(xp.uint32)))
         return _redc_wide_big(t33, ops, pmul_ref, n_subs)
 
     def new_part(i, sb):
@@ -917,7 +953,7 @@ def _perm_kernel_hybp(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         + 128 * rsout_ref[:] + 128 * cs
     cols = acc.astype(xp.uint32)
     ts = [
-        _carry(_recombine16_wide(cols[k * 63 : (k + 1) * 63]))
+        _carry_lo(_recombine16_wide(cols[k * 63 : (k + 1) * 63]))
         for k in range(WIDTH)
     ]
     red = _redc_wide_big(xp.concatenate(ts, axis=1), ops, pmul_ref)

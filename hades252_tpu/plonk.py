@@ -115,6 +115,25 @@ def poly_eval(coeffs: list[int], x: int) -> int:
     return acc
 
 
+def batch_inverse(vals: list[int]) -> list[int]:
+    """Montgomery's batch-inversion trick: one modexp for any number of
+    nonzero values (the prover's grand-product and coset divisions would
+    otherwise pay thousands of modexps each)."""
+    prefix = []
+    acc = 1
+    for v in vals:
+        acc = acc * v % P
+        prefix.append(acc)
+    if acc == 0:
+        raise ZeroDivisionError("batch_inverse over a zero element")
+    inv = pow(acc, P - 2, P)
+    out = [0] * len(vals)
+    for i in range(len(vals) - 1, -1, -1):
+        out[i] = inv * (prefix[i - 1] if i else 1) % P
+        inv = inv * vals[i] % P
+    return out
+
+
 def _coset_eval(coeffs: list[int], m: int, shift: int) -> list[int]:
     """Evaluate a polynomial (deg < m) on the coset shift*H_m."""
     scaled = []
@@ -295,14 +314,19 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
     for i in range(1, n):
         omega_pows[i] = omega_pows[i - 1] * omega % P
     sigma_evals = [_coset_eval(s, n, 1) for s in key.sigmas]
-    z_evals = [1] * n
+    nums, dens = [], []
     for i in range(n - 1):
         num = den = 1
         for c in range(4):
             w = wire_evals[c][i]
             num = num * (w + beta * K_SHIFTS[c] * omega_pows[i] + gamma) % P
             den = den * (w + beta * sigma_evals[c][i] + gamma) % P
-        z_evals[i + 1] = z_evals[i] * num * pow(den, P - 2, P) % P
+        nums.append(num)
+        dens.append(den)
+    den_invs = batch_inverse(dens)
+    z_evals = [1] * n
+    for i in range(n - 1):
+        z_evals[i + 1] = z_evals[i] * nums[i] * den_invs[i] % P
     z = ntt(z_evals, invert=True)
     cm["z"] = commit(z)
     tr.absorb(cm["z"])
@@ -320,16 +344,16 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
     zw = [z[i] * omega_pows[i % n] % P for i in range(len(z))]  # z(omega X)
     zw_c = ce(zw)
     # L_1 on the coset: (X^n - 1) / (n (X - 1))
-    n_inv = pow(n, P - 2, P)
-    x = 1
-    l1_c, zh_c, xs = [], [], []
+    zh_c, xs = [], []
     gx = g
     for i in range(m):
         xn = pow(gx, n, P)
         zh_c.append((xn - 1) % P)
-        l1_c.append((xn - 1) * pow(n * (gx - 1) % P, P - 2, P) % P)
         xs.append(gx)
         gx = gx * _domain_root(m) % P
+    zh_inv = batch_inverse(zh_c)
+    l1_den_inv = batch_inverse([n * (x - 1) % P for x in xs])
+    l1_c = [zh_c[i] * l1_den_inv[i] % P for i in range(m)]
 
     t_evals = []
     for i in range(m):
@@ -350,7 +374,7 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
         perm = (num - den) % P
         boundary = l1_c[i] * (z_c[i] - 1) % P
         combined = (gate + alpha * perm + alpha * alpha % P * boundary) % P
-        t_evals.append(combined * pow(zh_c[i], P - 2, P) % P)
+        t_evals.append(combined * zh_inv[i] % P)
     t = _coset_interp(t_evals, g)
     cm["t"] = commit(t)
     return Proof(wires=wires, z=z, t=t, commitments=cm)

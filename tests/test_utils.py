@@ -149,3 +149,36 @@ def test_roofline_counts():
     assert r["binding_resource"] in ("vpu", "mxu", "hbm")
     assert 0 < r["achieved_fraction"] < 1
     assert r["ceiling_perms_per_sec"] > r["achieved_fraction"] * 1e6
+
+
+def test_profiling_report_and_trace(tmp_path):
+    from hades252_tpu.utils.profiling import MULS_PER_PERM, roofline_report, trace
+
+    r = roofline_report(1.46e6)
+    assert r["field_muls_per_sec"] == 1.46e6 * MULS_PER_PERM
+    assert 0.3 < r["ns_per_field_mul"] < 0.4
+    assert roofline_report(0)["ns_per_field_mul"] == float("inf")
+    # trace capture degrades gracefully on backends that cannot profile
+    import jax.numpy as jnp
+
+    with trace(str(tmp_path)):
+        _ = jnp.zeros((1,)) + 1
+
+
+def test_make_perm_mont_fn_backends(rng):
+    import jax.numpy as jnp
+
+    from hades252_tpu import field
+    from hades252_tpu.ops import default_perm_mont_fn, make_perm_mont_fn
+    from hades252_tpu.ops.perm_ref import permute_mont
+
+    x = jnp.asarray(field.np_random_elements((2, 5), rng))
+    xm = field.to_mont(x)
+    ref = np.asarray(permute_mont(xm))
+    assert make_perm_mont_fn("ref") is permute_mont
+    pal = make_perm_mont_fn("pallas", block=128, emulate=True)
+    assert np.array_equal(np.asarray(pal(xm)), ref)
+    dflt = default_perm_mont_fn()  # CPU -> the oracle
+    assert np.array_equal(np.asarray(dflt(xm)), ref)
+    with pytest.raises(ValueError):
+        make_perm_mont_fn("bogus")
