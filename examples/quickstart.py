@@ -45,6 +45,15 @@ path = merkle_open(levels, index=17)
 ok = merkle_verify(root, ints_to_digits([17])[0], path, height=3)
 print("merkle proof for leaf 17:", ok)
 
+# --- authenticated encryption (duplex cipher over the permutation) -----------
+from hades252_tpu.models import cipher
+key = jnp.asarray(ints_to_digits([[11, 22]], shape=(1, 2)))
+nonce = jnp.asarray(ints_to_digits([33], shape=(1,)))
+msg = jnp.asarray(ints_to_digits([[1, 2, 3, 4]], shape=(1, 4)))
+ct, tag = cipher.encrypt(key, nonce, msg)
+pt, ok = cipher.decrypt(key, nonce, ct, tag)
+print("cipher roundtrip:", bool(ok[0]) and bool((pt[:, :4] == msg).all()))
+
 # --- PLONK constraint synthesis (GadgetStrategy) ------------------------------
 c = h.Composer()
 ws = [c.append_witness(v) for v in (1, 2, 3, 4, 5)]

@@ -252,3 +252,67 @@ def test_merkle_compact_matches_legacy(rng):
     sibs, poss = merkle_open_batched(levels, [5])
     ok = merkle_verify_batched(root, leaves[5:6], sibs, poss, h)
     assert bool(ok[0])
+
+
+# -- duplex cipher (round-2 capability) --------------------------------------
+
+
+def _int_cipher(key2, nonce, msg):
+    """Independent int-oracle of the cipher spec (models/cipher.py)."""
+    from hades252_tpu.strategy import ScalarStrategy
+
+    strat = ScalarStrategy()
+    msg = list(msg) + [0] * ((-len(msg)) % 4)
+    state = [(6 + (len(msg) << 32)) % P, key2[0], key2[1], nonce, 1]
+    state = strat.perm(state)
+    ct = []
+    for off in range(0, len(msg), 4):
+        for i in range(4):
+            c = (msg[off + i] + state[1 + i]) % P
+            ct.append(c)
+            state[1 + i] = c
+        state = strat.perm(state)
+    return ct, state[1]
+
+
+def test_cipher_roundtrip_and_oracle(rng):
+    from hades252_tpu.models import cipher
+
+    b, l = 3, 6
+    keys = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(2)]
+            for _ in range(b)]
+    nonces = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(b)]
+    msgs = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(l)]
+            for _ in range(b)]
+    key_d = jnp.asarray(ints_to_digits(keys, shape=(b, 2)))
+    nonce_d = jnp.asarray(ints_to_digits(nonces, shape=(b,)))
+    msg_d = jnp.asarray(ints_to_digits(msgs, shape=(b, l)))
+
+    ct, tag = cipher.encrypt(key_d, nonce_d, msg_d)
+    assert ct.shape == (b, 8, 16)  # padded to the rate
+
+    # cross-check every row against the independent int oracle
+    for i in range(b):
+        ct_i, tag_i = _int_cipher(keys[i], nonces[i], msgs[i])
+        got = [int(digits_to_ints(np.asarray(ct[i, j]))) for j in range(8)]
+        assert got == ct_i, f"row {i}"
+        assert int(digits_to_ints(np.asarray(tag[i]))) == tag_i
+
+    # roundtrip + authentication
+    pt, ok = cipher.decrypt(key_d, nonce_d, ct, tag)
+    assert bool(jnp.all(ok))
+    assert np.array_equal(np.asarray(pt[:, :l]), np.asarray(msg_d))
+
+    # wrong key fails authentication
+    bad_key = key_d.at[0, 0, 0].add(1)
+    _, ok2 = cipher.decrypt(bad_key, nonce_d, ct, tag)
+    assert not bool(ok2[0]) and bool(ok2[1])
+
+    # tampered ciphertext fails
+    bad_ct = ct.at[1, 2, 0].add(1)
+    _, ok3 = cipher.decrypt(key_d, nonce_d, bad_ct, tag)
+    assert bool(ok3[0]) and not bool(ok3[1])
+
+    # truncation fails (the tag binds the padded length)
+    _, ok4 = cipher.decrypt(key_d, nonce_d, ct[:, :4], tag)
+    assert not bool(jnp.any(ok4))
