@@ -80,6 +80,17 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_long,
         ctypes.c_void_p,
     ]
+    lib.hades_cipher.restype = ctypes.c_int
+    lib.hades_cipher.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     ark = open(os.path.join(_ASSET_DIR, "ark.bin"), "rb").read()
     mds = open(os.path.join(_ASSET_DIR, "mds.bin"), "rb").read()
     if lib.hades_init(ark, len(ark), mds, len(mds)) != 0:
@@ -134,6 +145,25 @@ def merkle_root_digits(leaves: np.ndarray) -> np.ndarray:
     if _lib().hades_merkle_root(digits_to_bytes(leaves), n, out) != 0:
         raise NativeUnavailable("hades_merkle_root failed")
     return bytes_to_digits(out.raw, (1,))[0]
+
+
+def cipher_digits(key: np.ndarray, nonce: np.ndarray, data: np.ndarray,
+                  decrypt: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Native duplex cipher (same spec and bit-identical outputs as
+    models.cipher). key (B, 2, D), nonce (B, D), data (B, L, D) canonical
+    digits, L a multiple of 4. Returns (out (B, L, D), tags (B, D))."""
+    from .encoding import bytes_to_digits, digits_to_bytes
+
+    b, length = data.shape[0], data.shape[1]
+    out = ctypes.create_string_buffer(b * length * 32)
+    tags = ctypes.create_string_buffer(b * 32)
+    rc = _lib().hades_cipher(
+        digits_to_bytes(key), digits_to_bytes(nonce), digits_to_bytes(data),
+        b, length, int(decrypt), out, tags,
+    )
+    if rc != 0:
+        raise NativeUnavailable("hades_cipher failed")
+    return bytes_to_digits(out.raw, (b, length)), bytes_to_digits(tags.raw, (b,))
 
 
 def bench_perms_per_sec(n: int = 20000) -> float:

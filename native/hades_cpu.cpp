@@ -76,6 +76,23 @@ inline void add(Fr& out, const Fr& a, const Fr& b) {
   if (geq_p(out.l)) sub_p(out.l);
 }
 
+inline void sub(Fr& out, const Fr& a, const Fr& b) {
+  u128 borrow = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 t = (u128)a.l[i] - b.l[i] - borrow;
+    out.l[i] = (u64)t;
+    borrow = (t >> 64) & 1;
+  }
+  if (borrow) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+      u128 t = (u128)out.l[i] + P[i] + carry;
+      out.l[i] = (u64)t;
+      carry = t >> 64;
+    }
+  }
+}
+
 // Montgomery CIOS multiply: out = a * b * R^{-1} mod p.
 inline void mont_mul(Fr& out, const Fr& a, const Fr& b) {
   u64 t[6] = {0, 0, 0, 0, 0, 0};
@@ -255,6 +272,51 @@ int hades_merkle_root(const uint8_t* leaves, long n, uint8_t* out) {
   from_mont(level[0]);
   std::memcpy(out, level[0].l, 32);
   delete[] level;
+  return 0;
+}
+
+// Duplex cipher matching hades252_tpu/models/cipher.py:
+//   state0 = [TAG_ENC + L*2^32, k0, k1, nonce, 1] -> perm; per rate-4
+//   chunk: c_i = m_i + state[1+i], state[1+i] = c_i, perm; tag = state[1].
+// decrypt=1 runs the inverse direction (m_i = c_i - state[1+i], duplex
+// feedback still absorbs the ciphertext). L must be a multiple of 4
+// (caller zero-pads). key: n*2*32; nonce: n*32; data/out: n*L*32;
+// tags: n*32 bytes.
+int hades_cipher(const uint8_t* key, const uint8_t* nonce,
+                 const uint8_t* data, long n, long L, int decrypt,
+                 uint8_t* out, uint8_t* tags) {
+  if (!g_ready || L <= 0 || (L % 4) != 0) return -1;
+  for (long b = 0; b < n; ++b) {
+    Fr s[WIDTH];
+    s[0] = Fr{{(u64)(6ull + ((u64)L << 32)), 0, 0, 0}};
+    decode(s[1], key + 64 * b);
+    decode(s[2], key + 64 * b + 32);
+    decode(s[3], nonce + 32 * b);
+    s[4] = Fr{{1, 0, 0, 0}};
+    for (int w = 0; w < WIDTH; ++w) to_mont(s[w]);
+    perm_mont(s);
+    for (long c = 0; c < L / 4; ++c) {
+      for (int i = 0; i < 4; ++i) {
+        Fr d_in;
+        decode(d_in, data + 32 * (b * L + c * 4 + i));
+        to_mont(d_in);
+        Fr o;
+        if (decrypt) {
+          sub(o, d_in, s[1 + i]);
+          s[1 + i] = d_in;  // duplex absorbs the ciphertext
+        } else {
+          add(o, d_in, s[1 + i]);
+          s[1 + i] = o;
+        }
+        from_mont(o);
+        std::memcpy(out + 32 * (b * L + c * 4 + i), o.l, 32);
+      }
+      perm_mont(s);
+    }
+    Fr t = s[1];
+    from_mont(t);
+    std::memcpy(tags + 32 * b, t.l, 32);
+  }
   return 0;
 }
 

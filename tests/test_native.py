@@ -55,3 +55,34 @@ def test_native_merkle_matches(rng):
 
 def test_native_bench_sane():
     assert native.bench_perms_per_sec(200) > 0
+
+
+def test_native_cipher_parity(rng):
+    # native duplex cipher == JAX models.cipher, bit-identical (encrypt,
+    # decrypt, tags), plus roundtrip through the native path alone
+    if not native.available():
+        pytest.skip("no native toolchain")
+    import jax.numpy as jnp
+
+    from hades252_tpu.models import cipher
+
+    b, l = 2, 8
+    key = ints_to_digits(
+        [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(2)]
+         for _ in range(b)], shape=(b, 2))
+    nonce = ints_to_digits(
+        [int.from_bytes(rng.bytes(40), "little") % P for _ in range(b)],
+        shape=(b,))
+    msg = ints_to_digits(
+        [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(l)]
+         for _ in range(b)], shape=(b, l))
+
+    ct_j, tag_j = cipher.encrypt(jnp.asarray(key), jnp.asarray(nonce),
+                                 jnp.asarray(msg))
+    ct_n, tag_n = native.cipher_digits(key, nonce, msg)
+    assert np.array_equal(np.asarray(ct_j), ct_n)
+    assert np.array_equal(np.asarray(tag_j), tag_n)
+
+    pt_n, tag_n2 = native.cipher_digits(key, nonce, ct_n, decrypt=True)
+    assert np.array_equal(pt_n, msg)
+    assert np.array_equal(tag_n2, tag_n)
