@@ -44,13 +44,18 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 1 << 16, (5, 16, B), dtype=np.uint32))
 
+    import os
+
     on_tpu = jax.default_backend() == "tpu"
-    # correctness gate: real-hardware KATs for every schedule (emulated KATs
-    # on CPU-only hosts). A miscompiled/misrelayed kernel must fail loudly
-    # here, not time successfully.
+    # correctness gate: real-hardware KATs for the serving schedules
+    # (emulated KATs on CPU-only hosts; HADES_GATE=all sweeps every
+    # schedule on device — ~45 min of relay compiles). A miscompiled/
+    # misrelayed kernel must fail loudly here, not time successfully.
     from hades252_tpu import selftest
 
-    selftest.assert_device_correct(emulate=not on_tpu)
+    schedules = (selftest.SCHEDULES_ALL if os.environ.get("HADES_GATE") == "all"
+                 else selftest.SCHEDULES)
+    selftest.assert_device_correct(schedules, emulate=not on_tpu)
 
     if on_tpu:
         from hades252_tpu.ops.perm_pallas import permute_planar

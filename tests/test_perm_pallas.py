@@ -61,7 +61,7 @@ def test_all_schedules_agree(rng):
     ref = np.asarray(
         permute_pallas(jnp.asarray(x), emulate=True, schedule="naive")
     )
-    for sched in ("opt", "mxu", "mxu8", "hyb"):
+    for sched in ("opt", "mxu", "mxu8", "hyb", "hybp"):
         got = np.asarray(
             permute_pallas(jnp.asarray(x), emulate=True, schedule=sched)
         )
@@ -119,8 +119,8 @@ def test_selftest_gate_emulated():
     # emulation path; bench.py/entry() run the same gate on real TPU
     from hades252_tpu import selftest
 
-    assert selftest.verify_device(emulate=True) == []
-    selftest.assert_device_correct(emulate=True)
+    assert selftest.verify_device(selftest.SCHEDULES_ALL, emulate=True) == []
+    selftest.assert_device_correct(selftest.SCHEDULES_ALL, emulate=True)
 
 
 def test_selftest_gate_detects_mismatch(monkeypatch):
