@@ -136,6 +136,45 @@ def sponge_hash_sharded(msgs: jnp.ndarray, mesh: Mesh, perm_mont_fn=None):
     return jfn(msgs)
 
 
+def cipher_sharded(key, nonce, data, mesh: Mesh, *, decrypt: bool = False,
+                   perm_mont_fn=None):
+    """Batch-sharded duplex cipher (models/cipher.py): every array's
+    leading batch axis shards over the mesh; rows are independent streams
+    so there is no cross-device traffic. Returns (out, tags) with out
+    sharded like the input and tags sharded along the batch axis."""
+    from ..models import cipher
+
+    if perm_mont_fn is None:
+        from ..ops import default_perm_mont_fn
+
+        perm_mont_fn = default_perm_mont_fn()
+    key = jnp.asarray(key)
+    if key.shape[0] % mesh.shape[AXIS] != 0:
+        raise ValueError(
+            f"batch {key.shape[0]} not divisible by mesh size {mesh.shape[AXIS]}"
+        )
+    def run(k, nn, d):
+        return cipher._run(k, nn, d, perm_mont_fn, decrypt=decrypt)
+
+    jfn = _cached_jit(
+        mesh, ("cipher", perm_mont_fn, decrypt),
+        lambda: shard_map(
+            run, mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS, None),
+                      P(AXIS, None, None)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None)),
+            check_vma=False,
+        ),
+    )
+    sh3 = NamedSharding(mesh, P(AXIS, None, None))
+    sh2 = NamedSharding(mesh, P(AXIS, None))
+    return jfn(
+        jax.device_put(key, sh3),
+        jax.device_put(jnp.asarray(nonce), sh2),
+        jax.device_put(jnp.asarray(data), sh3),
+    )
+
+
 def _local_tree_height(n_local: int) -> int:
     h = 0
     while n_local % (ARITY ** (h + 1)) == 0:

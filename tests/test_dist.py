@@ -108,3 +108,20 @@ def test_sharded_executable_cached(rng):
         # cache, or every later compile in the session may segfault
         dist.clear_sharded_cache()
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+
+def test_cipher_sharded_matches_single(rng, mesh8):
+    from hades252_tpu.models import cipher
+
+    b, l = 8, 4
+    key = jnp.asarray(field.np_random_elements((b, 2), rng))
+    nonce = jnp.asarray(field.np_random_elements((b,), rng))
+    msg = jnp.asarray(field.np_random_elements((b, l), rng))
+    ct_s, tag_s = dist.cipher_sharded(key, nonce, msg, mesh8)
+    ct1, tag1 = cipher.encrypt(key, nonce, msg)
+    assert np.array_equal(np.asarray(ct_s), np.asarray(ct1))
+    assert np.array_equal(np.asarray(tag_s), np.asarray(tag1))
+    pt_s, tag_back = dist.cipher_sharded(key, nonce, ct_s, mesh8,
+                                         decrypt=True)
+    assert np.array_equal(np.asarray(pt_s), np.asarray(msg))
+    assert np.array_equal(np.asarray(tag_back), np.asarray(tag1))
