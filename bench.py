@@ -201,6 +201,54 @@ def main_sponge():
     return 0
 
 
+def main_cipher():
+    """Model-level benchmark: duplex-cipher encryption throughput,
+    2^14 parallel streams x 32 field elements each (differential chained
+    timing like the other modes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hades252_tpu.models.cipher import encrypt
+
+    b, length, chain = 1 << 14, 32, 4
+    rng = np.random.default_rng(0)
+    key = jnp.asarray(rng.integers(0, 1 << 16, (b, 2, 16), dtype=np.uint32))
+    nonce = jnp.asarray(rng.integers(0, 1 << 16, (b, 16), dtype=np.uint32))
+    msgs = jnp.asarray(
+        rng.integers(0, 1 << 16, (b, length, 16), dtype=np.uint32)
+    )
+
+    @jax.jit
+    def step(m):
+        ct, tag = encrypt(key, nonce, m)
+        return m.at[:, 0, :].set(tag)  # chain: the tag feeds the next batch
+
+    def timed(k):
+        y = msgs
+        for _ in range(k):
+            y = step(y)
+        s = jnp.sum(y[:, 0, :].astype(jnp.uint32))
+        t0 = time.perf_counter()
+        _ = int(s)
+        return time.perf_counter() - t0
+
+    timed(1)
+    base = timed(0)
+    total = timed(chain)
+    secs = (total - base) / chain
+    print(
+        json.dumps(
+            {
+                "metric": "cipher_duplex_encrypt_16384x32",
+                "value": round(b * length / secs),
+                "unit": "elements_encrypted/sec/chip",
+                "sec_per_batch": round(secs, 4),
+            }
+        )
+    )
+    return 0
+
+
 def main_roofline():
     """Explicit v5e roofline per schedule (utils/roofline.py): exact VPU
     lane-op + MXU MAC counts from the instrumented kernel emulation, the
@@ -224,4 +272,4 @@ def main_roofline():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "perm"
     sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge,
-              "roofline": main_roofline}[mode]())
+              "cipher": main_cipher, "roofline": main_roofline}[mode]())
