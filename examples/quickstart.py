@@ -37,13 +37,21 @@ stream = st.squeeze(3)  # 3 output words
 print("squeeze(3):", [hex(int(digits_to_ints(np.asarray(w))))[:14]
                       for w in stream[0]])
 
-# --- Merkle tree + inclusion proof -------------------------------------------
+# --- Merkle tree + inclusion proofs ------------------------------------------
 leaves = jnp.asarray(ints_to_digits(list(range(64)), shape=(64,)))
 root = merkle_root(leaves)
 levels = merkle_levels(leaves)
 path = merkle_open(levels, index=17)
 ok = merkle_verify(root, ints_to_digits([17])[0], path, height=3)
 print("merkle proof for leaf 17:", ok)
+
+# compact batched openings: 3 siblings/level, one perm call per level for
+# the whole batch of proofs
+from hades252_tpu.models.merkle import merkle_open_batched, merkle_verify_batched
+sibs, poss = merkle_open_batched(levels, [3, 17, 42])
+ok_b = merkle_verify_batched(root, leaves[jnp.asarray([3, 17, 42])],
+                             sibs, poss, height=3)
+print("batched compact proofs:", [bool(v) for v in ok_b])
 
 # --- authenticated encryption (duplex cipher over the permutation) -----------
 from hades252_tpu.models import cipher
@@ -60,3 +68,10 @@ ws = [c.append_witness(v) for v in (1, 2, 3, 4, 5)]
 h.GadgetStrategy.gadget(c, ws)
 print(f"gadget: {len(c)} gates, satisfied={c.check_satisfied()}, "
       f"out[0]={hex(c.value(ws[0]))[:14]}...")
+
+# --- polynomial prove/verify (curve-free PLONK argument) ----------------------
+from hades252_tpu import plonk
+key_ck = plonk.preprocess(c)
+proof = plonk.prove(c, key_ck)
+print("plonk proof verifies:", plonk.verify(key_ck, proof,
+                                            [g.pi for g in c.gates]))
