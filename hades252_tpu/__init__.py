@@ -28,3 +28,20 @@ from .ops.perm_ref import permute, permute_mont  # noqa: F401
 from .strategy import ScalarStrategy, Strategy  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public constants mirroring the reference's exported arrays
+    (reference: src/round_constants.rs:29 `ROUND_CONSTANTS`,
+    src/mds_matrix.rs:18 `MDS_MATRIX`) as canonical Python ints. Lazy so
+    importing the package never touches the asset decode path before a
+    multi-host jax.distributed.initialize."""
+    if name == "ROUND_CONSTANTS":
+        from .params import round_constants_int
+
+        return round_constants_int()
+    if name == "MDS_MATRIX":
+        from .params import mds_matrix_int
+
+        return mds_matrix_int()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

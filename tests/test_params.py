@@ -101,3 +101,16 @@ def test_montgomery_constants_consistent():
     ark = params.round_constants_int()
     got = params.digits_to_int(c["ark_mont"][3, 2])
     assert got == (ark[3 * 5 + 2] * params.R_MOD_P) % params.P
+
+
+def test_public_constant_exports():
+    # reference API parity: lib.rs re-exports the constant arrays
+    # (ROUND_CONSTANTS: round_constants.rs:29, MDS_MATRIX: mds_matrix.rs:18)
+    import hades252_tpu as h
+
+    assert len(h.ROUND_CONSTANTS) == 960
+    assert all(0 < c < params.P for c in h.ROUND_CONSTANTS)  # non-zero check
+    assert len(h.MDS_MATRIX) == 5 and all(len(r) == 5 for r in h.MDS_MATRIX)
+    assert h.MDS_MATRIX == params.mds_matrix_int()
+    with pytest.raises(AttributeError):
+        h.NO_SUCH_EXPORT
