@@ -12,12 +12,13 @@ the single-thread native-CPU implementation (native/hades_cpu.cpp, 4x u64
 Montgomery CIOS), the same algorithm and performance class as the reference
 Rust crate (dusk-hades publishes no numbers, BASELINE.md). The denominator
 is PINNED so round-over-round ratios are comparable (the live re-measurement
-on this loaded 1-core host varies 8.6-11.6k and is reported alongside as
-native_live).
+on this 1-core host varies 6.3-12.7k with load and is reported alongside
+as native_live).
 
 Before timing, the on-device KAT gate (hades252_tpu.selftest) runs the
-known-answer tile through every kernel schedule on the real backend and
-refuses to print a number on any mismatch.
+known-answer batch through the serving kernel schedules on the real
+backend (HADES_GATE=all sweeps all six) and refuses to print a number on
+any mismatch.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "perms/sec/chip", "vs_baseline": N}
