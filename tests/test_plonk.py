@@ -135,3 +135,33 @@ def test_wrong_public_inputs_fail(preimage_setup):
     bad = list(pi)
     bad[-1] = (bad[-1] + 1) % P
     assert not plonk.verify(key, proof, bad)
+
+
+def test_forged_quotient_fails(preimage_setup):
+    # a stronger adversary: tamper the quotient AND recompute its
+    # commitment (so the transcript re-binds); the zeta identity must
+    # still fail (Schwartz-Zippel over the re-derived challenge)
+    _, _, composer, key = preimage_setup
+    proof = plonk.prove(composer, key)
+    t2 = list(proof.t)
+    t2[0] = (t2[0] + 1) % P
+    cm2 = dict(proof.commitments)
+    cm2["t"] = plonk.commit(t2)
+    forged = plonk.Proof(wires=proof.wires, z=proof.z, t=t2,
+                         commitments=cm2)
+    assert not plonk.verify(key, forged, [g.pi for g in composer.gates])
+
+
+def test_forged_grand_product_fails(preimage_setup):
+    # same for z: break the copy-constraint argument with re-bound
+    # commitments; either the boundary (L1) or the permutation identity
+    # catches it at zeta
+    _, _, composer, key = preimage_setup
+    proof = plonk.prove(composer, key)
+    z2 = list(proof.z)
+    z2[1] = (z2[1] + 1) % P
+    cm2 = dict(proof.commitments)
+    cm2["z"] = plonk.commit(z2)
+    forged = plonk.Proof(wires=proof.wires, z=z2, t=proof.t,
+                         commitments=cm2)
+    assert not plonk.verify(key, forged, [g.pi for g in composer.gates])
