@@ -118,8 +118,16 @@ def encrypt(key, nonce, msgs, perm_mont_fn=None):
     canonical digit arrays. Returns (ciphertext (B, L', D), tag (B, D))
     where L' = L rounded up to the rate (padding words encrypt zeros and
     must be transmitted — the tag binds the padded length)."""
+    from ..utils import metrics
+
     key = jnp.asarray(key)
     data = _pad(jnp.asarray(msgs))
+    # counters live outside any trace (metrics.py caveats)
+    metrics.count("cipher.encrypts", int(key.shape[0]))
+    metrics.count(
+        "perms.executed",
+        int(key.shape[0]) * (1 + data.shape[1] // RATE),
+    )
     ct, tag = _run(key, nonce, data, perm_mont_fn, decrypt=False)
     return ct, tag
 
