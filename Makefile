@@ -38,3 +38,6 @@ clean:
 
 coverage:		## line-coverage gate (>=85%, mirroring the reference codecov policy)
 	$(PYTHON) tools/coverage_gate.py
+
+lint:			## static-analysis gate (the reference CI's clippy+fmt leg)
+	$(PYTHON) tools/lint.py

@@ -36,6 +36,21 @@ import numpy as np
 PINNED_NATIVE_BASELINE = 12656.0
 
 
+def _model_gate(jax) -> str:
+    """KAT gate for the model-level modes (merkle/sponge/cipher/plonk):
+    emulated check of every serving schedule + on-device check of the
+    DEFAULT schedule's canonical and Montgomery-chaining paths — the
+    executables these modes actually drive. Each mode refuses to print a
+    number unless this passes (same contract as main())."""
+    from hades252_tpu import selftest
+    from hades252_tpu.ops.perm_pallas import DEFAULT_SCHEDULE
+
+    selftest.assert_device_correct(emulate=True)
+    if jax.default_backend() == "tpu":
+        selftest.assert_device_correct((DEFAULT_SCHEDULE,))
+    return "passed"
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -121,6 +136,8 @@ def main_merkle():
     from hades252_tpu.models.merkle import _level_up, tree_levels
     from hades252_tpu.ops import default_perm_mont_fn
 
+    gate = _model_gate(jax)
+
     n = 1 << 20
     rng = np.random.default_rng(0)
     leaves = jnp.asarray(rng.integers(0, 1 << 16, (n, 16), dtype=np.uint32))
@@ -151,6 +168,7 @@ def main_merkle():
                 "value": round(secs, 4),
                 "unit": "sec/tree/chip",
                 "leaves_per_sec": round(n / secs),
+                "kat_gate": gate,
             }
         )
     )
@@ -166,6 +184,8 @@ def main_sponge():
     import jax.numpy as jnp
 
     from hades252_tpu.models.sponge import sponge_hash
+
+    gate = _model_gate(jax)
 
     b, length, chain = 1 << 14, 64, 4
     rng = np.random.default_rng(0)
@@ -196,6 +216,7 @@ def main_sponge():
                 "value": round(b * length / secs),
                 "unit": "elements_absorbed/sec/chip",
                 "sec_per_batch": round(secs, 4),
+                "kat_gate": gate,
             }
         )
     )
@@ -210,6 +231,8 @@ def main_cipher():
     import jax.numpy as jnp
 
     from hades252_tpu.models.cipher import encrypt
+
+    gate = _model_gate(jax)
 
     b, length, chain = 1 << 14, 32, 4
     rng = np.random.default_rng(0)
@@ -244,6 +267,7 @@ def main_cipher():
                 "value": round(b * length / secs),
                 "unit": "elements_encrypted/sec/chip",
                 "sec_per_batch": round(secs, 4),
+                "kat_gate": gate,
             }
         )
     )

@@ -136,8 +136,18 @@ def decrypt(key, nonce, ciphertext, tag, perm_mont_fn=None):
     """Decrypt + authenticate a batch. Returns (msgs (B, L, D), ok (B,))
     — rows where ok is False carry an INVALID tag and their plaintext
     must be discarded (returned only so the batch shape is static)."""
-    if jnp.asarray(ciphertext).shape[1] % RATE != 0:
+    from ..utils import metrics
+
+    ciphertext = jnp.asarray(ciphertext)
+    if ciphertext.shape[1] % RATE != 0:
         raise ValueError("ciphertext length must be a multiple of the rate")
+    # decrypt executes the same permutation schedule as encrypt — count it
+    # symmetrically (counters live outside any trace, metrics.py caveats)
+    metrics.count("cipher.decrypts", int(ciphertext.shape[0]))
+    metrics.count(
+        "perms.executed",
+        int(ciphertext.shape[0]) * (1 + ciphertext.shape[1] // RATE),
+    )
     msgs, tag2 = _run(key, nonce, ciphertext, perm_mont_fn, decrypt=True)
     ok = jnp.all(tag2 == jnp.asarray(tag), axis=-1)
     return msgs, ok

@@ -20,11 +20,10 @@ converted in and the root out. Reduction order inside the MDS layer is fixed
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .. import field
-from ..params import N_DIGITS, WIDTH
+from ..params import N_DIGITS
 from ..utils import metrics
 from ..utils.encoding import ints_to_digits
 
@@ -173,6 +172,13 @@ def merkle_verify_batched(root, leaves, sibs, poss, height: int,
     merkle_open_batched); poss: (K, height). height is REQUIRED for
     soundness (the node rule is level-uniform, so an unbound path length
     would let an internal node verify as a leaf). Returns (K,) bool.
+
+    Positions are attacker-supplied and MUST be range-checked: for
+    pos outside [0, ARITY) `_insert_at` never places the node (the child
+    group would be entirely proof-supplied siblings), which on padded
+    trees — where duplicate sibling digests exist — would let an
+    out-of-range position forge membership for an arbitrary leaf. The
+    range check is folded into the returned verdict.
     """
     if perm_mont_fn is None:
         from ..ops import default_perm_mont_fn
@@ -181,6 +187,8 @@ def merkle_verify_batched(root, leaves, sibs, poss, height: int,
     leaves = jnp.asarray(leaves)
     if sibs.shape[1] != height or poss.shape[1] != height:
         return jnp.zeros((leaves.shape[0],), bool)
+    poss = jnp.asarray(poss)
+    pos_ok = jnp.all((poss >= 0) & (poss < ARITY), axis=1)
     k = leaves.shape[0]
     node = field.to_mont(leaves)
     tag = jnp.broadcast_to(_tag_mont(), (k, 1, N_DIGITS))
@@ -188,7 +196,10 @@ def merkle_verify_batched(root, leaves, sibs, poss, height: int,
         children = _insert_at(node, sibs[:, lvl], poss[:, lvl])
         states = jnp.concatenate([tag, children], axis=1)
         node = perm_mont_fn(states)[:, DIGEST_INDEX, :]
-    return jnp.all(field.from_mont(node) == jnp.asarray(root)[None], axis=-1)
+    digest_ok = jnp.all(
+        field.from_mont(node) == jnp.asarray(root)[None], axis=-1
+    )
+    return pos_ok & digest_ok
 
 
 def merkle_verify(root, leaf, path, height, perm_mont_fn=None) -> bool:

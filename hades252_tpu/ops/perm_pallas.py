@@ -1173,9 +1173,9 @@ def permute_planar(
     schedule — bit-identical outputs, tested against each other and the
     oracle; by descending measured v5e throughput:
       "hybp"  full-expansion partial rounds, software-pipelined so the big
-              basis matmul overlaps the S-box chain (~1.47M perms/s;
-              biggest Mosaic trace, slowest compile),
-      "hyb"   full-expansion partial rounds (~1.40M perms/s) — the default,
+              basis matmul overlaps the S-box chain (~1.47M perms/s) — the
+              default,
+      "hyb"   full-expansion partial rounds (~1.40M perms/s),
       "mxu8"  dense rounds, constant products as offset-encoded int8
               matmuls (~1.0M perms/s),
       "mxu"   same structure with bf16 matmuls,

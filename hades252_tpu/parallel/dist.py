@@ -30,8 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .. import field
-from ..models.merkle import ARITY, DIGEST_INDEX, _level_up, _pad_to_pow4, tree_levels
-from ..params import N_DIGITS, WIDTH
+from ..models.merkle import ARITY, _level_up, _pad_to_pow4, tree_levels
+from ..params import N_DIGITS
 from ..utils import metrics
 
 AXIS = "data"

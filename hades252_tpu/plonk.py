@@ -173,6 +173,25 @@ def commit(coeffs: list[int]) -> int:
     return int.from_bytes(h.digest(), "little") % P
 
 
+def key_digest(key: "CircuitKey") -> int:
+    """Digest of the preprocessed circuit (selectors, sigmas, domain) as one
+    field element. Absorbed into the Fiat-Shamir transcript together with
+    the public-input column BEFORE any challenge is drawn, so every
+    challenge is bound to the statement being proven (the post-CVE
+    dusk-plonk transcript discipline; weak-FS "Frozen Heart" otherwise lets
+    a prover rebind one honest proof to other public inputs)."""
+    h = hashlib.sha256()
+    h.update(key.n.to_bytes(8, "little"))
+    h.update(key.n_gates.to_bytes(8, "little"))
+    for name in sorted(key.selectors):
+        for c in key.selectors[name]:
+            h.update(int(c % P).to_bytes(32, "little"))
+    for s in key.sigmas:
+        for c in s:
+            h.update(int(c % P).to_bytes(32, "little"))
+    return int.from_bytes(h.digest(), "little") % P
+
+
 class Transcript:
     """Hades-sponge Fiat-Shamir transcript (width-5 permutation, capacity
     word chained, rate 4)."""
@@ -273,7 +292,7 @@ class Proof:
 
     wires: tuple            # a, b, o, d coefficient lists
     z: list                 # grand-product polynomial
-    t: list                 # quotient polynomial (deg <= 3n + 5)
+    t: list                 # quotient polynomial (deg <= 4n - 4)
     commitments: dict       # name -> field element
 
 
@@ -302,6 +321,9 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
     pi_col = _public_input_column(composer, n)
 
     tr = Transcript()
+    # statement binding: circuit digest + full PI column enter the
+    # transcript before any challenge (see key_digest docstring)
+    tr.absorb(key_digest(key), *pi_col)
     cm = {}
     for name, poly in zip("abod", wires):
         cm[name] = commit(poly)
@@ -386,11 +408,13 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
 
 #: Honest quotient degree bound: gate <= 3n, perm <= 5n... all divided by
 #: Z_H (degree n); the largest term is z * 4 linear wire factors (deg 5n-4),
-#: so deg(t) <= 4n - 4 < 4n. A cheating "quotient" from a non-divisible
+#: so deg(t) <= 4n - 4. A cheating "quotient" from a non-divisible
 #: combination interpolates to degree 4n-1 generically; the zeta identity
-#: check is what catches it (Schwartz-Zippel), the degree check is belt.
+#: check is what catches it (Schwartz-Zippel), the degree check is belt —
+#: and it enforces exactly the derived bound (a degree-(4n-1) forgery is
+#: rejected here before any evaluation: tests/test_plonk.py).
 def _t_degree_bound(n: int) -> int:
-    return 4 * n - 1
+    return 4 * n - 4
 
 
 def verify(key: CircuitKey, proof: Proof, public_inputs: list[int]) -> bool:
@@ -398,8 +422,13 @@ def verify(key: CircuitKey, proof: Proof, public_inputs: list[int]) -> bool:
     gadget.rs:220). public_inputs: the PI column values by gate row
     (padded/truncated to the gate count)."""
     n, omega = key.n, key.omega
-    # 1. transcript binding: recompute commitments + challenges
+    pi = [0] * n
+    for i, v in enumerate(public_inputs[:key.n_gates]):
+        pi[i] = v % P
+    # 1. transcript binding: statement (circuit digest + PI column) first,
+    # then recompute commitments + challenges
     tr = Transcript()
+    tr.absorb(key_digest(key), *pi)
     for name, poly in zip("abod", proof.wires):
         if commit(poly) != proof.commitments.get(name):
             return False
@@ -431,9 +460,6 @@ def verify(key: CircuitKey, proof: Proof, public_inputs: list[int]) -> bool:
     s_z = [poly_eval(s, zeta) for s in key.sigmas]
     q_z = {name: poly_eval(poly, zeta) for name, poly in key.selectors.items()}
 
-    pi = [0] * n
-    for i, v in enumerate(public_inputs[:key.n_gates]):
-        pi[i] = v % P
     pi_z = poly_eval(ntt(pi, invert=True), zeta)
 
     zh_z = (pow(zeta, n, P) - 1) % P

@@ -96,7 +96,7 @@ def verify_device(
     schedule runs the canonical (convert=True) path; the default schedule
     additionally runs the Montgomery-chaining (convert=False) path used by
     the sponge/Merkle pipelines. Defaults: one 128-lane tile under
-    emulation, the bench shape (2048, 2^14) on hardware.
+    emulation, the bench shape (block 1024, 2^14 lanes) on hardware.
     """
     import jax.numpy as jnp
 

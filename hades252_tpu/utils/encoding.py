@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..params import DIGIT_BITS, N_DIGITS, P, digits_to_int, int_to_digits
+from ..params import N_DIGITS, P, digits_to_int, int_to_digits
 
 
 def ints_to_digits(values, shape=None) -> np.ndarray:

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from hades252_tpu import field, params
-from hades252_tpu.params import P, R, digits_to_int, int_to_digits
+from hades252_tpu.params import P, R, digits_to_int
 from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
 
 

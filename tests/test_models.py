@@ -236,6 +236,35 @@ def test_merkle_compact_proofs_batch(rng):
     assert not bool(jnp.any(ok4))
 
 
+def test_merkle_out_of_range_position_rejected():
+    # Advisor finding (round 2): for pos >= ARITY, _insert_at never places
+    # the node, so the child group is ENTIRELY proof-supplied — on a padded
+    # tree (whose padding groups are all-zero, i.e. duplicate digests exist)
+    # an out-of-range position plus the real all-zero group forges a
+    # membership proof for an arbitrary leaf. The verdict must range-check
+    # attacker-supplied positions.
+    from hades252_tpu.models.merkle import (
+        merkle_levels, merkle_open_batched, merkle_root,
+        merkle_verify_batched, tree_levels,
+    )
+
+    n = 5  # pads to 16 leaves: level-0 groups 2 and 3 are all-zero
+    leaves = jnp.asarray(ints_to_digits(list(range(1, n + 1)), shape=(n,)))
+    root = merkle_root(leaves)
+    levels = merkle_levels(leaves)
+    h = tree_levels(16)
+    # honest opening of padded slot 12 (group 3, all-zero children):
+    # its level-0 siblings are already the zero digests the attack needs
+    sibs, poss = merkle_open_batched(levels, [12])
+    evil_leaf = jnp.asarray(ints_to_digits([12345], shape=(1,)))
+    forged_poss = poss.at[0, 0].set(merkle.ARITY)  # out of range
+    ok = merkle_verify_batched(root, evil_leaf, sibs, forged_poss, h)
+    assert not bool(ok[0])
+    # sanity: without the out-of-range position the evil leaf also fails
+    ok2 = merkle_verify_batched(root, evil_leaf, sibs, poss, h)
+    assert not bool(ok2[0])
+
+
 def test_merkle_compact_matches_legacy(rng):
     from hades252_tpu.models.merkle import (
         merkle_levels, merkle_open, merkle_open_batched, merkle_root,

@@ -152,6 +152,70 @@ def test_forged_quotient_fails(preimage_setup):
     assert not plonk.verify(key, forged, [g.pi for g in composer.gates])
 
 
+def _unbound_zeta(proof):
+    """The zeta a round-2 (statement-UNbound) verifier would derive: the
+    transcript absorbed only the wire/z/t commitments."""
+    tr = plonk.Transcript()
+    for name in "abod":
+        tr.absorb(proof.commitments[name])
+    tr.challenge()  # beta
+    tr.challenge()  # gamma
+    tr.absorb(proof.commitments["z"])
+    tr.challenge()  # alpha
+    tr.absorb(proof.commitments["t"])
+    return tr.challenge()
+
+
+def test_pi_rebinding_attack_rejected(preimage_setup):
+    # Frozen-Heart regression (advisor, round 2): with weak FS an honest
+    # proof rebinds to any alternative PI column solving the single linear
+    # constraint interp(PI')(zeta) = interp(PI)(zeta). Craft exactly that
+    # attack against the statement-unbound zeta and check the (now
+    # statement-bound) verifier rejects it.
+    _, _, composer, key = preimage_setup
+    proof = plonk.prove(composer, key)
+    n = key.n
+    pi = [g.pi % P for g in composer.gates]
+    zeta = _unbound_zeta(proof)
+
+    def lagrange_at_zeta(i):
+        col = [0] * n
+        col[i] = 1
+        return plonk.poly_eval(plonk.ntt(col, invert=True), zeta)
+
+    delta = 1
+    comp = -delta * lagrange_at_zeta(0) * pow(
+        lagrange_at_zeta(1), P - 2, P
+    ) % P
+    pi2 = list(pi)
+    pi2[0] = (pi2[0] + delta) % P
+    pi2[1] = (pi2[1] + comp) % P
+
+    def interp_at(col):
+        padded = [v % P for v in col] + [0] * (n - len(col))
+        return plonk.poly_eval(plonk.ntt(padded, invert=True), zeta)
+
+    # the attack is well-formed: same zeta-evaluation, different column —
+    # a statement-unbound verifier would have accepted it wholesale
+    assert interp_at(pi2) == interp_at(pi) and pi2 != pi
+    assert not plonk.verify(key, proof, pi2)
+
+
+def test_forged_high_degree_quotient_fails(preimage_setup):
+    # degree-(4n-1) quotient forgery: above the derived 4n-4 bound, caught
+    # by the degree check itself (belt) before any evaluation
+    _, _, composer, key = preimage_setup
+    proof = plonk.prove(composer, key)
+    n = key.n
+    t2 = list(proof.t) + [0] * (4 * n - len(proof.t))
+    t2[4 * n - 1] = 1
+    cm2 = dict(proof.commitments)
+    cm2["t"] = plonk.commit(t2)
+    forged = plonk.Proof(wires=proof.wires, z=proof.z, t=t2,
+                         commitments=cm2)
+    assert not plonk.verify(key, forged, [g.pi for g in composer.gates])
+
+
 def test_forged_grand_product_fails(preimage_setup):
     # same for z: break the copy-constraint argument with re-bound
     # commitments; either the boundary (L1) or the permutation identity
