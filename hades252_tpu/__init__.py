@@ -11,6 +11,12 @@ Public API parity with the reference crate root (reference: src/lib.rs:20-31):
   GadgetStrategy / Composer                   — synthesizes it as constraints
   plonk (module)                              — polynomial prove/verify for
                                                 the synthesized constraints
+                                                (transparent PIOP mode)
+  fri (module)                                — succinct prove/verify: the
+                                                same argument under Hades-
+                                                Merkle + DEEP-FRI polynomial
+                                                commitments (the reference's
+                                                KZG capability, self-hosted)
 """
 
 from .params import (  # noqa: F401

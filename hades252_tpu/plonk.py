@@ -24,8 +24,11 @@ hashes binding the Fiat-Shamir transcript, and the verifier re-evaluates
 everything at zeta itself, so a false statement fails with probability
 >= 1 - 5n/|F| by Schwartz-Zippel. What it does NOT provide is succinctness
 or zero-knowledge; the reference gets those from dusk-plonk's KZG
-commitment scheme, which is exactly the seam where a pairing-based PCS
-would slot in here (commit() below is that seam).
+commitment scheme. The SUCCINCT instantiation of this same argument lives
+in fri.py (hades252_tpu.fri.prove_succinct / verify_succinct): Hades-Merkle
+vector commitments + DEEP-FRI replace commit(), proofs become sublinear,
+and the verifier touches no full polynomial. This module remains the
+maximally-simple oracle the succinct mode is tested against.
 
 The prover is host-side by design: constraint synthesis and proving are
 sequential big-int bookkeeping (SURVEY.md §2.4); the TPU surface of the
@@ -303,38 +306,31 @@ def _public_input_column(composer: Composer, n: int) -> list[int]:
     return pi
 
 
-def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
-    """Produce the polynomial argument for the composer's witness.
-
-    Mirrors prover.prove (reference: gadget.rs:217): the witness column is
-    the composer's, the statement is the preprocessed circuit + the public
-    input column."""
-    if key is None:
-        key = preprocess(composer)
-    n, omega = key.n, key.omega
+def _wire_polys(composer: Composer, key: CircuitKey):
+    """(wire_evals, wires): the 4 witness columns on H and their
+    coefficient forms."""
     cols = _wire_indices(composer)
     vals = composer._values
     wire_evals = [
-        [vals[idx] for idx in col] + [0] * (n - key.n_gates) for col in cols
+        [vals[idx] for idx in col] + [0] * (key.n - key.n_gates)
+        for col in cols
     ]
-    wires = tuple(ntt(v, invert=True) for v in wire_evals)
-    pi_col = _public_input_column(composer, n)
+    return wire_evals, tuple(ntt(v, invert=True) for v in wire_evals)
 
-    tr = Transcript()
-    # statement binding: circuit digest + full PI column enter the
-    # transcript before any challenge (see key_digest docstring)
-    tr.absorb(key_digest(key), *pi_col)
-    cm = {}
-    for name, poly in zip("abod", wires):
-        cm[name] = commit(poly)
-        tr.absorb(cm[name])
-    beta = tr.challenge()
-    gamma = tr.challenge()
 
-    # grand product over H
-    omega_pows = [1] * n
-    for i in range(1, n):
-        omega_pows[i] = omega_pows[i - 1] * omega % P
+def _omega_pows(key: CircuitKey) -> list[int]:
+    out = [1] * key.n
+    for i in range(1, key.n):
+        out[i] = out[i - 1] * key.omega % P
+    return out
+
+
+def _grand_product(wire_evals, key: CircuitKey, beta: int,
+                   gamma: int) -> list[int]:
+    """The PLONK copy-constraint grand-product polynomial z (coefficient
+    form): z(1) = 1, z(omega^{i+1}) = z(omega^i) * prod(num_i/den_i)."""
+    n = key.n
+    omega_pows = _omega_pows(key)
     sigma_evals = [_coset_eval(s, n, 1) for s in key.sigmas]
     nums, dens = [], []
     for i in range(n - 1):
@@ -349,12 +345,16 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
     z_evals = [1] * n
     for i in range(n - 1):
         z_evals[i + 1] = z_evals[i] * nums[i] * den_invs[i] % P
-    z = ntt(z_evals, invert=True)
-    cm["z"] = commit(z)
-    tr.absorb(cm["z"])
-    alpha = tr.challenge()
+    return ntt(z_evals, invert=True)
 
-    # quotient on a 4n coset (gate poly degree <= 3(n-1); perm terms <= 5n)
+
+def _quotient(key: CircuitKey, wires, z, pi_col, beta: int, gamma: int,
+              alpha: int) -> list[int]:
+    """The quotient polynomial t = [gate + alpha perm + alpha^2 boundary]
+    / Z_H, computed on a 4n coset (gate poly degree <= 3(n-1); perm terms
+    <= 5n)."""
+    n = key.n
+    omega_pows = _omega_pows(key)
     m = 4 * n
     g = 7  # coset shift: generator, g^m H_m never meets H
     ce = lambda poly: _coset_eval(poly, m, g)
@@ -397,7 +397,37 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
         boundary = l1_c[i] * (z_c[i] - 1) % P
         combined = (gate + alpha * perm + alpha * alpha % P * boundary) % P
         t_evals.append(combined * zh_inv[i] % P)
-    t = _coset_interp(t_evals, g)
+    return _coset_interp(t_evals, g)
+
+
+def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
+    """Produce the polynomial argument for the composer's witness.
+
+    Mirrors prover.prove (reference: gadget.rs:217): the witness column is
+    the composer's, the statement is the preprocessed circuit + the public
+    input column."""
+    if key is None:
+        key = preprocess(composer)
+    wire_evals, wires = _wire_polys(composer, key)
+    pi_col = _public_input_column(composer, key.n)
+
+    tr = Transcript()
+    # statement binding: circuit digest + full PI column enter the
+    # transcript before any challenge (see key_digest docstring)
+    tr.absorb(key_digest(key), *pi_col)
+    cm = {}
+    for name, poly in zip("abod", wires):
+        cm[name] = commit(poly)
+        tr.absorb(cm[name])
+    beta = tr.challenge()
+    gamma = tr.challenge()
+
+    z = _grand_product(wire_evals, key, beta, gamma)
+    cm["z"] = commit(z)
+    tr.absorb(cm["z"])
+    alpha = tr.challenge()
+
+    t = _quotient(key, wires, z, pi_col, beta, gamma, alpha)
     cm["t"] = commit(t)
     return Proof(wires=wires, z=z, t=t, commitments=cm)
 

@@ -1,0 +1,235 @@
+"""Self-hosted polynomial commitments + succinct PLONK (fri.py).
+
+Covers the capability the reference gets from dusk-plonk's KZG
+(reference: src/strategies/gadget.rs:198-223): commitments that bind
+polynomials, sublinear proofs, and the same prove/verify integration
+cycle — here via Hades-Merkle vector commitments and DEEP-FRI.
+"""
+
+import numpy as np
+import pytest
+
+from hades252_tpu import fri, plonk
+from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
+from hades252_tpu.params import P, WIDTH
+from hades252_tpu.strategy import ScalarStrategy
+
+PERM = fri.default_pcs_perm()
+#: Light parameters for CI (soundness bits don't matter for correctness
+#: tests; production defaults are FriParams() = blowup 8 / 40 queries).
+PARAMS = fri.FriParams(blowup=4, n_queries=6, final_degree=16)
+
+
+# -- commitment trees ---------------------------------------------------------
+
+
+def test_tree_build_open_verify(rng):
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(50)]
+    levels = fri.tree_build(vals, PERM)
+    root = fri.tree_root(levels)
+    idx = [0, 7, 49, 31]
+    sibs, poss = fri.tree_open_batched(levels, idx)
+    h = fri._tree_height(len(vals))
+    ok = fri.tree_verify_batched(
+        root, [vals[i] for i in idx], sibs, poss, h, idx, PERM
+    )
+    assert bool(np.all(ok))
+    # wrong value fails only for the tampered row
+    bad = [vals[i] for i in idx]
+    bad[2] = (bad[2] + 1) % P
+    ok2 = fri.tree_verify_batched(root, bad, sibs, poss, h, idx, PERM)
+    assert list(ok2) == [True, True, False, True]
+
+
+def test_tree_index_binding(rng):
+    # the position path encodes the leaf index; presenting leaf 7's valid
+    # path when the verifier demands index 8 must fail even though the
+    # path itself hashes to the root
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
+    levels = fri.tree_build(vals, PERM)
+    root = fri.tree_root(levels)
+    sibs, poss = fri.tree_open_batched(levels, [7])
+    h = fri._tree_height(16)
+    assert bool(fri.tree_verify_batched(root, [vals[7]], sibs, poss, h,
+                                        [7], PERM)[0])
+    assert not bool(fri.tree_verify_batched(root, [vals[7]], sibs, poss, h,
+                                            [8], PERM)[0])
+
+
+def test_tree_out_of_range_position_rejected(rng):
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(16)]
+    levels = fri.tree_build(vals, PERM)
+    root = fri.tree_root(levels)
+    sibs, poss = fri.tree_open_batched(levels, [4])
+    h = fri._tree_height(16)
+    forged = np.asarray(poss).copy()
+    forged[0, 0] = fri.ARITY  # out of range
+    ok = fri.tree_verify_batched(root, [vals[4]], sibs, forged, h, [4],
+                                 PERM)
+    assert not bool(ok[0])
+
+
+# -- FRI folding --------------------------------------------------------------
+
+
+def test_fold_matches_coefficient_fold(rng):
+    # fold of evaluations == evaluations of f_even + beta*f_odd on the
+    # squared domain
+    m, shift = 32, 7
+    coeffs = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(m)]
+    beta = 0xBE7A
+    evals = plonk._coset_eval(coeffs, m, shift)
+    folded = fri.fold_evals(evals, shift, beta)
+    f_even = coeffs[0::2]
+    f_odd = coeffs[1::2]
+    expect_coeffs = [(e + beta * o) % P for e, o in zip(f_even, f_odd)]
+    expect = plonk._coset_eval(expect_coeffs, m // 2, shift * shift % P)
+    assert folded == expect
+
+
+# -- succinct prove/verify: tiny circuit --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    c = Composer()
+    a = c.append_witness(3)
+    b = c.append_witness(5)
+    c.gate_mul(Constraint().mult(1).a(a).b(b))
+    c.gate_add(Constraint().left(1).a(a).right(1).b(b).public(-8))
+    pk, vk = fri.preprocess_succinct(
+        c, fri.FriParams(blowup=8, n_queries=8, final_degree=8)
+    )
+    proof = fri.prove_succinct(c, pk)
+    return c, pk, vk, proof
+
+
+def test_tiny_succinct_roundtrip(tiny_setup):
+    c, pk, vk, proof = tiny_setup
+    assert fri.verify_succinct(vk, proof, [g.pi for g in c.gates])
+
+
+def test_tiny_wrong_pi_fails(tiny_setup):
+    c, pk, vk, proof = tiny_setup
+    pi = [g.pi for g in c.gates]
+    pi[-1] = (pi[-1] + 1) % P
+    assert not fri.verify_succinct(vk, proof, pi)
+
+
+def test_tiny_tampered_eval_fails(tiny_setup):
+    c, pk, vk, proof = tiny_setup
+    evals = dict(proof.evals)
+    evals["a"] = (evals["a"] + 1) % P
+    forged = fri.SuccinctProof(
+        roots=proof.roots, evals=evals, fri=proof.fri,
+        open_values=proof.open_values, open_sibs=proof.open_sibs,
+        open_poss=proof.open_poss,
+    )
+    assert not fri.verify_succinct(vk, forged, [g.pi for g in c.gates])
+
+
+def test_tiny_tampered_opening_fails(tiny_setup):
+    # change one opened leaf value: the Merkle check catches it
+    c, pk, vk, proof = tiny_setup
+    vals = {k: [list(p) for p in v] for k, v in proof.open_values.items()}
+    vals["z"][0][0] = (vals["z"][0][0] + 1) % P
+    forged = fri.SuccinctProof(
+        roots=proof.roots, evals=proof.evals, fri=proof.fri,
+        open_values=vals, open_sibs=proof.open_sibs,
+        open_poss=proof.open_poss,
+    )
+    assert not fri.verify_succinct(vk, forged, [g.pi for g in c.gates])
+
+
+def test_tiny_tampered_final_coeffs_fail(tiny_setup):
+    c, pk, vk, proof = tiny_setup
+    fc = list(proof.fri.final_coeffs)
+    fc[0] = (fc[0] + 1) % P
+    forged_fri = fri.FriProof(
+        layer_roots=proof.fri.layer_roots, final_coeffs=fc,
+        layer_values=proof.fri.layer_values,
+        layer_sibs=proof.fri.layer_sibs, layer_poss=proof.fri.layer_poss,
+    )
+    forged = fri.SuccinctProof(
+        roots=proof.roots, evals=proof.evals, fri=forged_fri,
+        open_values=proof.open_values, open_sibs=proof.open_sibs,
+        open_poss=proof.open_poss,
+    )
+    assert not fri.verify_succinct(vk, forged, [g.pi for g in c.gates])
+
+
+def test_statement_substitution_fails(tiny_setup):
+    # VERDICT round-2 "statement-substitution attack": present a valid
+    # proof for circuit A against the verifying key of circuit B (same
+    # shape, different constants). The statement digest + key roots make
+    # the transcript and the openings disagree.
+    c, pk, vk, proof = tiny_setup
+    c2 = Composer()
+    a = c2.append_witness(3)
+    b = c2.append_witness(5)
+    c2.gate_mul(Constraint().mult(2).a(a).b(b))  # different selector
+    c2.gate_add(Constraint().left(1).a(a).right(1).b(b).public(-8))
+    _, vk2 = fri.preprocess_succinct(
+        c2, fri.FriParams(blowup=8, n_queries=8, final_degree=8)
+    )
+    assert not fri.verify_succinct(vk2, proof, [g.pi for g in c2.gates])
+
+
+def test_unsatisfiable_witness_cannot_prove():
+    c = Composer()
+    a = c.append_witness(3)
+    b = c.append_witness(5)
+    # claims a*b = 16 — false
+    c.append_gate(Constraint().mult(1).a(a).b(b).constant(-16))
+    assert not c.check_satisfied()
+    pk, _ = fri.preprocess_succinct(
+        c, fri.FriParams(blowup=8, n_queries=4, final_degree=8)
+    )
+    with pytest.raises(ValueError, match="degree bound"):
+        fri.prove_succinct(c, pk)
+
+
+# -- the reference's integration cycle at full scale --------------------------
+
+
+@pytest.fixture(scope="module")
+def preimage_succinct(rng):
+    x = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(WIDTH)]
+    expected = ScalarStrategy().perm(list(x))
+    c = Composer()
+    ws = [c.append_witness(w) for w in x]
+    GadgetStrategy.gadget(c, ws)
+    for w, e in zip(ws, expected):
+        c.append_gate(Constraint().left(1).a(w).public(-e))
+    pk, vk = fri.preprocess_succinct(c, PARAMS)
+    proof = fri.prove_succinct(c, pk)
+    return c, pk, vk, proof
+
+
+def test_preimage_succinct(preimage_succinct):
+    c, pk, vk, proof = preimage_succinct
+    assert fri.verify_succinct(vk, proof, [g.pi for g in c.gates])
+
+
+def test_preimage_succinct_wrong_pi_fails(preimage_succinct):
+    c, pk, vk, proof = preimage_succinct
+    pi = [g.pi for g in c.gates]
+    pi[-1] = (pi[-1] + 1) % P
+    assert not fri.verify_succinct(vk, proof, pi)
+
+
+def test_proof_size_sublinear(preimage_succinct, tiny_setup):
+    # the succinct point: witness size grows 256x (n=4 -> n=1024) while
+    # the proof grows only with tree depth / layer count (polylog), and
+    # stays at/below the transparent proof's 9n field elements at n=1024
+    # even at CI parameters
+    _, pk_t, _, proof_t = tiny_setup
+    _, pk_p, _, proof_p = preimage_succinct
+    n_t, n_p = pk_t.key.n, pk_p.key.n
+    assert n_p // n_t >= 256
+    size_t = fri.proof_size_field_elements(proof_t)
+    size_p = fri.proof_size_field_elements(proof_p)
+    # per-query cost grows ~ tree height (log); total far below linear
+    assert size_p < 4 * size_t
+    transparent_p = 9 * n_p  # wires 4n + z n + t 4n
+    assert size_p < transparent_p
