@@ -274,6 +274,73 @@ def main_cipher():
     return 0
 
 
+def main_plonk():
+    """PLONK batched proving throughput: B instances of the 973-gate
+    permutation-preimage circuit (the reference's integration-test
+    circuit, gadget.rs:151-178) through prover_tpu — device NTTs, grand
+    product, and quotient; host transcripts. Correctness gate: the first
+    proof must be BIT-IDENTICAL to the host prover's and verify; refuses
+    to print otherwise. Timed end-to-end (device compute + host
+    transcript/commit bookkeeping), second run after a compile/warmup
+    run."""
+    from hades252_tpu import plonk, prover_tpu
+    from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
+    from hades252_tpu.params import P, WIDTH
+    from hades252_tpu.strategy import ScalarStrategy
+
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    rng = np.random.default_rng(0)
+    strat = ScalarStrategy()
+
+    def instance():
+        x = [int.from_bytes(rng.bytes(40), "little") % P
+             for _ in range(WIDTH)]
+        expected = strat.perm(list(x))
+        c = Composer()
+        ws = [c.append_witness(w) for w in x]
+        GadgetStrategy.gadget(c, ws)
+        for w, e in zip(ws, expected):
+            c.append_gate(Constraint().left(1).a(w).public(-e))
+        return c
+
+    composers = [instance() for _ in range(b)]
+    key = plonk.preprocess(composers[0])
+
+    prover_tpu.prove_batched(composers, key)  # compile + warm caches
+    t0 = time.perf_counter()
+    proofs = prover_tpu.prove_batched(composers, key)
+    secs = time.perf_counter() - t0
+
+    # gate: bit-identity with the host oracle + verification
+    host = plonk.prove(composers[0], key)
+    ok = (proofs[0].wires == host.wires and proofs[0].z == host.z
+          and proofs[0].t == host.t
+          and plonk.verify(key, proofs[0],
+                           [g.pi for g in composers[0].gates]))
+    if not ok:
+        raise RuntimeError(
+            "batched prover output deviates from the host oracle — "
+            "refusing to report a throughput number"
+        )
+    t_host0 = time.perf_counter()
+    plonk.prove(composers[1], key)
+    host_secs = time.perf_counter() - t_host0
+    print(
+        json.dumps(
+            {
+                "metric": f"plonk_batched_prove_973gates_B{b}",
+                "value": round(b / secs, 2),
+                "unit": "proofs/sec/chip",
+                "sec_per_batch": round(secs, 3),
+                "host_prover_proofs_per_sec": round(1 / host_secs, 3),
+                "vs_host_prover": round((b / secs) * host_secs, 1),
+                "bit_identity_gate": "passed",
+            }
+        )
+    )
+    return 0
+
+
 def main_roofline():
     """Explicit v5e roofline per schedule (utils/roofline.py): exact VPU
     lane-op + MXU MAC counts from the instrumented kernel emulation, the
@@ -297,4 +364,5 @@ def main_roofline():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "perm"
     sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge,
-              "cipher": main_cipher, "roofline": main_roofline}[mode]())
+              "cipher": main_cipher, "plonk": main_plonk,
+              "roofline": main_roofline}[mode]())

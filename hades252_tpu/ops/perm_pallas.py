@@ -56,7 +56,7 @@ DEFAULT_SCHEDULE = "hybp"
 
 
 def default_block(schedule: str = DEFAULT_SCHEDULE) -> int:
-    return 1024 if schedule in ("hyb", "hybp") else DEFAULT_BLOCK
+    return 1024 if schedule.startswith(("hyb", "hybp")) else DEFAULT_BLOCK
 
 # Emulation toggle: when set the kernel body runs eagerly on NUMPY arrays
 # (identical uint32 wrap-around semantics, zero XLA compile) — the CPU test
@@ -164,6 +164,90 @@ def _sqr_cols(a):
             acc = _slice_add(acc, 2 * i + 2, hi + hi)
     if _emu():
         assert int(acc.max()) < (1 << 22), "square accumulator overflow"
+    return acc
+
+
+# -- base-2^13 S-box schoolbook (the hyb13/hybp13 variants) ------------------
+# Raw 26-bit products accumulate in uint32 with NO lo/hi split; the results
+# repack carry-free into the 16-bit column buffers the REDC machinery
+# consumes. Measured essentially op-count-NEUTRAL vs _sqr_cols/_mul_cols
+# (~3100 vs 3120 lane-ops per S-box: the 20-vs-16 digit-count growth
+# cancels the split savings — ops/sbox13.py op_count_report, PERF.md r3).
+
+_D13 = 20                      # ceil(256 / 13) thirteen-bit digits
+_M13 = np.uint32((1 << 13) - 1)
+
+
+def _to13(a16):
+    """(16, B) normalized 16-bit digits -> (20, B) 13-bit digits. Carry-
+    free bit windowing (each 13-bit digit spans <= 2 source digits)."""
+    xp = _xp()
+    rows = []
+    for k in range(_D13):
+        j, r = divmod(13 * k, 16)
+        lo = a16[j : j + 1] >> r
+        if r + 13 > 16 and j + 1 < _D:
+            lo = lo | (a16[j + 1 : j + 2] << (16 - r))
+        rows.append(lo & _M13)
+    return xp.concatenate(rows, axis=0)
+
+
+def _mul13_cols(a13, b13):
+    """Un-carried base-2^13 schoolbook columns: products < 2^26 accumulate
+    directly; <= 20 per column keeps sums < 2^31."""
+    xp = _xp()
+    bshape = xp.broadcast_shapes(a13.shape[1:], b13.shape[1:])
+    acc = xp.zeros((2 * _D13 - 1,) + bshape, xp.uint32)
+    for i in range(_D13):
+        acc = _slice_add(acc, i, a13[i : i + 1] * b13)
+    if _emu():
+        assert int(acc.max()) < (1 << 31), "base-13 column overflow"
+    return acc
+
+
+def _sqr13_cols(a13):
+    """Symmetric base-2^13 squaring: diagonal once, off-diagonals doubled
+    (2*2^26 terms, <= 10 + diagonal per column: sums < 2^31). 210 products
+    instead of 400."""
+    xp = _xp()
+    acc = xp.zeros((2 * _D13 - 1,) + a13.shape[1:], xp.uint32)
+    for i in range(_D13):
+        diag = a13[i : i + 1] * a13[i : i + 1]
+        acc = _slice_add(acc, 2 * i, diag)
+        if i + 1 < _D13:
+            prod = a13[i : i + 1] * a13[i + 1 :]
+            acc = _slice_add(acc, 2 * i + 1, prod + prod)
+    if _emu():
+        assert int(acc.max()) < (1 << 31), "base-13 square overflow"
+    return acc
+
+
+def _cols13_to16(cols13, n_out=2 * _D):
+    """Value-preserving carry-free repack: base-2^13 column sums (< 2^31
+    at bit offset 13k) -> base-2^16 column sums. Each source column windows
+    into <= 3 output columns (low window masks BEFORE the left shift so
+    nothing overflows uint32); <= 4 sources overlap one output column, so
+    output sums < 2^18 — far inside the REDC path's < 2^24 bound."""
+    xp = _xp()
+    acc = xp.zeros((n_out,) + cols13.shape[1:], xp.uint32)
+    for k in range(2 * _D13 - 1):
+        v = cols13[k : k + 1]
+        j, r = divmod(13 * k, 16)
+        if r == 0:
+            if j < n_out:
+                acc = _slice_add(acc, j, v & _MASK)
+            if j + 1 < n_out:
+                acc = _slice_add(acc, j + 1, v >> 16)
+        else:
+            if j < n_out:
+                low = np.uint32((1 << (16 - r)) - 1)
+                acc = _slice_add(acc, j, (v & low) << r)
+            if j + 1 < n_out:
+                acc = _slice_add(acc, j + 1, (v >> (16 - r)) & _MASK)
+            if j + 2 < n_out and r > 1:
+                acc = _slice_add(acc, j + 2, v >> (32 - r))
+    if _emu():
+        assert int(acc.max()) < (1 << 18), "base-13 repack overflow"
     return acc
 
 
@@ -571,7 +655,8 @@ class _MxuOps:
     (sbox on VPU with MXU reductions, MDS as one digit-convolution matmul).
     Used by the mxu/mxu8 kernels and the hyb kernel's full rounds."""
 
-    def __init__(self, ark_ref, fc_ref, dot_lin, dot_pp, dot_p):
+    def __init__(self, ark_ref, fc_ref, dot_lin, dot_pp, dot_p,
+                 sbox13: bool = False):
         xp = _xp()
         self.p = fc_ref[0, :][:, None]
         self.pp = fc_ref[1, :][:, None]
@@ -583,6 +668,7 @@ class _MxuOps:
         self.twop17 = _carry(self.p17 + self.p17)
         self.ark_ref = ark_ref
         self.dot_lin, self.dot_pp, self.dot_p = dot_lin, dot_pp, dot_p
+        self.sbox13 = sbox13
 
     def redc_words(self, ts, normalize=True):
         return _redc_words_mxu(ts, self.dot_pp, self.dot_p, self.p,
@@ -593,7 +679,25 @@ class _MxuOps:
         """x^5 on each word; squares/products on VPU, reductions on MXU.
         The x^2/x^4 intermediates skip their conditional subtract (< 2p is
         fine for the next stage's REDC bound — see _redc_words_mxu); only
-        the final x^5 re-normalizes to < p."""
+        the final x^5 re-normalizes to < p. sbox13 switches the raw
+        products to the base-2^13 schoolbook (values and hence all REDC
+        bounds are identical; only the column representation changes —
+        sums < 2^18 after the repack, well under the 16-bit path's own
+        bound)."""
+        if self.sbox13:
+            w13 = [_to13(w_) for w_ in ws]
+            x2 = self.redc_words(
+                [_cols13_to16(_sqr13_cols(w_)) for w_ in w13],
+                normalize=False,
+            )
+            x4 = self.redc_words(
+                [_cols13_to16(_sqr13_cols(_to13(x_))) for x_ in x2],
+                normalize=False,
+            )
+            return self.redc_words([
+                _cols13_to16(_mul13_cols(_to13(a), b))
+                for a, b in zip(x4, w13)
+            ])
         x2 = self.redc_words([_sqr_cols(w_) for w_ in ws], normalize=False)
         x4 = self.redc_words([_sqr_cols(w_) for w_ in x2], normalize=False)
         return self.redc_words(
@@ -742,7 +846,8 @@ def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
                      rslin_ref, rspp_ref, rsp_ref,
                      w1_ref, rs1_ref, w2_ref, rs2_ref,
                      wout_ref, rsout_ref, pmul_ref, onem_ref,
-                     in_ref, out_ref, y_ref, *, convert: bool):
+                     in_ref, out_ref, y_ref, *, convert: bool,
+                     sbox13: bool = False):
     """67-round permutation: mxu8 full rounds + full-expansion partial chain.
 
     The 59 partial rounds run as one int8 matmul over the growing basis
@@ -762,7 +867,8 @@ def _perm_kernel_hyb(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         return lambda xb: _dot_u32_i8(w_ref[:], rs_ref[:], xb)
 
     ops = _MxuOps(ark_ref, fc_ref, mk(wlin_ref, rslin_ref),
-                  mk(wpp_ref, rspp_ref), mk(wp_ref, rsp_ref))
+                  mk(wpp_ref, rspp_ref), mk(wp_ref, rsp_ref),
+                  sbox13=sbox13)
 
     if convert:
         state = tuple(
@@ -841,7 +947,8 @@ def _perm_kernel_hybp(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
                       wo1_ref, rso1_ref, wo2_ref, rso2_ref,
                       wn_ref, rsn_ref,
                       wout_ref, rsout_ref, pmul_ref, onem_ref,
-                      in_ref, out_ref, y_ref, *, convert: bool):
+                      in_ref, out_ref, y_ref, *, convert: bool,
+                      sbox13: bool = False):
     """Software-pipelined hyb: round r's BIG basis matmul excludes the
     newest element s_{r-1} (a separate (63,32) Toeplitz matmul adds it), so
     the big matmul for round r+1 depends only on elements through s_{r-1}
@@ -856,7 +963,8 @@ def _perm_kernel_hybp(ark_ref, fc_ref, wlin_ref, wpp_ref, wp_ref,
         return lambda xb: _dot_u32_i8(w_ref[:], rs_ref[:], xb)
 
     ops = _MxuOps(ark_ref, fc_ref, mk(wlin_ref, rslin_ref),
-                  mk(wpp_ref, rspp_ref), mk(wp_ref, rsp_ref))
+                  mk(wpp_ref, rspp_ref), mk(wp_ref, rsp_ref),
+                  sbox13=sbox13)
 
     if convert:
         state = tuple(
@@ -1026,23 +1134,23 @@ def permute_planar_emulated(x, *, convert: bool = True,
                 *[_HostRef(a) for a in consts], _HostRef(x), out,
                 convert=convert,
             )
-        elif schedule == "hyb":
+        elif schedule in ("hyb", "hyb13"):
             consts = _const_arrays_hyb()
             y = _HostRef(
                 np.empty((_hyb_scratch_rows(), x.shape[2]), np.int8)
             )
             _perm_kernel_hyb(
                 *[_HostRef(a) for a in consts], _HostRef(x), out, y,
-                convert=convert,
+                convert=convert, sbox13=schedule.endswith("13"),
             )
-        elif schedule == "hybp":
+        elif schedule in ("hybp", "hybp13"):
             consts = _const_arrays_hybp()
             y = _HostRef(
                 np.empty((_hyb_scratch_rows(), x.shape[2]), np.int8)
             )
             _perm_kernel_hybp(
                 *[_HostRef(a) for a in consts], _HostRef(x), out, y,
-                convert=convert,
+                convert=convert, sbox13=schedule.endswith("13"),
             )
         elif schedule == "naive":
             ark, mds, fc = _const_arrays()
@@ -1176,6 +1284,10 @@ def permute_planar(
               basis matmul overlaps the S-box chain (~1.47M perms/s) — the
               default,
       "hyb"   full-expansion partial rounds (~1.40M perms/s),
+      "hybp13"/"hyb13"  the same schedules with the S-box schoolbook in
+              base-2^13 digits — the documented negative-result experiment
+              (op-count-neutral but measured 26% slower on v5e; PERF.md
+              r3), kept bit-exact and hardware-KAT-verified,
       "mxu8"  dense rounds, constant products as offset-encoded int8
               matmuls (~1.0M perms/s),
       "mxu"   same structure with bf16 matmuls,
@@ -1218,13 +1330,16 @@ def permute_planar(
     elif schedule == "mxu8":
         consts = _const_arrays_mxu8()
         kernel = functools.partial(_perm_kernel_mxu8, convert=convert)
-    elif schedule in ("hyb", "hybp"):
-        if schedule == "hyb":
-            consts = _const_arrays_hyb()
-            kernel = functools.partial(_perm_kernel_hyb, convert=convert)
-        else:
+    elif schedule in ("hyb", "hybp", "hyb13", "hybp13"):
+        sbox13 = schedule.endswith("13")
+        if schedule.startswith("hybp"):
             consts = _const_arrays_hybp()
-            kernel = functools.partial(_perm_kernel_hybp, convert=convert)
+            kernel = functools.partial(_perm_kernel_hybp, convert=convert,
+                                       sbox13=sbox13)
+        else:
+            consts = _const_arrays_hyb()
+            kernel = functools.partial(_perm_kernel_hyb, convert=convert,
+                                       sbox13=sbox13)
         scratch_shapes = [
             pltpu.VMEM((_hyb_scratch_rows(), block), jnp.int8)
         ]

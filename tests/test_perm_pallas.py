@@ -61,7 +61,7 @@ def test_all_schedules_agree(rng):
     ref = np.asarray(
         permute_pallas(jnp.asarray(x), emulate=True, schedule="naive")
     )
-    for sched in ("opt", "mxu", "mxu8", "hyb", "hybp"):
+    for sched in ("opt", "mxu", "mxu8", "hyb", "hybp", "hyb13", "hybp13"):
         got = np.asarray(
             permute_pallas(jnp.asarray(x), emulate=True, schedule=sched)
         )
