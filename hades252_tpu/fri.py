@@ -38,8 +38,15 @@ pre-list-decoding bound (the conservative figure; defaults: blowup 8,
 identity itself. Unlike the reference's KZG this needs no pairing
 assumption and no trusted setup; like every FRI system the commitments
 bind vectors *close to* low-degree polynomials rather than exact ones.
-Zero-knowledge is NOT provided (wire values are not blinded) — the
-remaining delta to dusk-plonk's hiding commitments.
+Zero-knowledge: FriParams(zk=True) Z_H-blinds the wire and grand-product
+polynomials with enough fresh randomness to statistically hide every
+evaluation the proof reveals (direct query openings, the zeta
+evaluations, and the shifted z evaluations implied by the opened
+quotient — the exact accounting is in _bounds), the ethSTARK-style
+counterpart of dusk-plonk's hiding commitments and blinded wires.
+Unopened leaves stay behind the Hades Merkle digests (random-oracle
+model). Without zk the proof leaks evaluations of the witness
+polynomials and must not be used when the witness is secret.
 
 Node rule (our spec, domain-separated from the models/ trees):
     parent = perm([TAG_PCS, c0, c1, c2, c3])[DIGEST_INDEX],  TAG_PCS = 5
@@ -243,11 +250,16 @@ class FriParams:
     """blowup: inverse code rate (power of two); n_queries: spot checks
     (soundness ~= n_queries * log2(blowup) bits, conservative bound);
     final_degree: fold until the degree bound reaches this (power of two),
-    then ship coefficients directly."""
+    then ship coefficients directly; zk: Z_H-blind the witness
+    polynomials so every value the proof reveals is statistically
+    independent of the witness (see _bounds for the leak accounting —
+    this is the capability dusk-plonk gets from KZG's hiding
+    commitments)."""
 
     blowup: int = 8
     n_queries: int = 40
     final_degree: int = 8
+    zk: bool = False
 
     def __post_init__(self):
         for v, name in ((self.blowup, "blowup"),
@@ -258,6 +270,34 @@ class FriParams:
             raise ValueError("blowup must be >= 2")
         if self.n_queries < 1:
             raise ValueError("n_queries must be >= 1")
+
+
+def _bounds(n: int, params: FriParams) -> dict:
+    """Per-polynomial coefficient-count bounds d_j and the FRI degree
+    bound D (power of two), non-zk and zk.
+
+    zk leak accounting (why these pads suffice): each committed
+    polynomial is directly opened at the 2Q query points (x_q, -x_q) and
+    evaluated once at zeta. Additionally the quotient's opened values
+    t(+-x_q) algebraically involve z at the SHIFTED points omega*(+-x_q)
+    — an extra 2Q indirect evaluations of z — while the wires appear in
+    t(+-x_q) only at the already-revealed points. Adding r(X)*Z_H(X)
+    with k random coefficients hides any k-1 revealed out-of-domain
+    evaluations (Z_H(x) != 0 off H, so the revealed values are shifted by
+    a Vandermonde-full-rank image of the r coefficients). Hence:
+    wires get 2Q+5 blinding coefficients, z gets 4Q+9."""
+    q = params.n_queries
+    zkw = 2 * q + 5 if params.zk else 0
+    zkz = 4 * q + 9 if params.zk else 0
+    d_w = n + zkw
+    d_z = n + zkz
+    # honest quotient degree: deg t <= (d_z-1) + 4(d_w-1) - n, +1 slack
+    # to match plonk._t_degree_bound's 4n-4 in the unblinded case
+    d_t = d_z + 4 * d_w - n - 3
+    d_cap = max(d_t, d_w, d_z, 2)
+    big_d = 1 << (d_cap - 1).bit_length()
+    return {"d_w": d_w, "d_z": d_z, "d_t": d_t, "d_key": n, "D": big_d,
+            "zkw": zkw, "zkz": zkz}
 
 
 def fold_evals(evals: list[int], shift: int, beta: int) -> list[int]:
@@ -367,27 +407,28 @@ def proof_size_field_elements(proof: SuccinctProof) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _terms(n: int):
+def _terms(bounds: dict):
     """The batched DEEP terms: (poly name, eval name, at-shifted-point?,
-    d_j = coefficient-count bound). t's bound is the derived 4n-3 coeffs
-    (deg <= 4n-4, plonk._t_degree_bound)."""
+    d_j = coefficient-count bound from _bounds)."""
+    d_w, d_z, d_t = bounds["d_w"], bounds["d_z"], bounds["d_t"]
     out = [
-        ("a", "a", False, n),
-        ("b", "b", False, n),
-        ("o", "o", False, n),
-        ("d", "d", False, n),
-        ("z", "z", False, n),
-        ("z", "zw", True, n),
-        ("t", "t", False, 4 * n - 3),
+        ("a", "a", False, d_w),
+        ("b", "b", False, d_w),
+        ("o", "o", False, d_w),
+        ("d", "d", False, d_w),
+        ("z", "z", False, d_z),
+        ("z", "zw", True, d_z),
+        ("t", "t", False, d_t),
     ]
-    out += [(s, s, False, n) for s in SELECTOR_NAMES + SIGMA_NAMES]
+    out += [(s, s, False, bounds["d_key"])
+            for s in SELECTOR_NAMES + SIGMA_NAMES]
     return out
 
 
-def _deep_compose(m0: int, n: int, poly_evals: dict, evals: dict,
+def _deep_compose(m0: int, bounds: dict, poly_evals: dict, evals: dict,
                   zeta: int, omega: int, gdeep: int) -> list[int]:
     """Prover: F on L0 from each committed polynomial's L0 evaluations."""
-    d_bound = 4 * n
+    d_bound = bounds["D"]
     w = _domain_root(m0)
     xs = []
     x = G0
@@ -398,7 +439,7 @@ def _deep_compose(m0: int, n: int, poly_evals: dict, evals: dict,
     inv_wz = batch_inverse([(x - zeta * omega) % P for x in xs])
     f = [0] * m0
     gpow = 1
-    for pname, ename, shifted, dj in _terms(n):
+    for pname, ename, shifted, dj in _terms(bounds):
         s = d_bound + 1 - dj
         v = evals[ename]
         e = poly_evals[pname]
@@ -413,13 +454,13 @@ def _deep_compose(m0: int, n: int, poly_evals: dict, evals: dict,
     return f
 
 
-def _deep_eval(x: int, n: int, opened: dict, evals: dict, zeta: int,
+def _deep_eval(x: int, bounds: dict, opened: dict, evals: dict, zeta: int,
                omega: int, gdeep: int) -> int:
     """Verifier: F at one query point from the opened leaf values."""
-    d_bound = 4 * n
+    d_bound = bounds["D"]
     acc = 0
     gpow = 1
-    for pname, ename, shifted, dj in _terms(n):
+    for pname, ename, shifted, dj in _terms(bounds):
         s = d_bound + 1 - dj
         pt = zeta * omega % P if shifted else zeta
         diff = (opened[pname] - evals[ename]) % P
@@ -452,7 +493,7 @@ def preprocess_succinct(composer_or_key, params: FriParams | None = None,
            else preprocess(composer_or_key))
     if perm_fn is None:
         perm_fn = default_pcs_perm()
-    m0 = params.blowup * 4 * key.n
+    m0 = params.blowup * _bounds(key.n, params)["D"]
     key_coms = {}
     for name in SELECTOR_NAMES:
         key_coms[name] = _commit_poly(key.selectors[name], m0, perm_fn)
@@ -474,23 +515,56 @@ def preprocess_succinct(composer_or_key, params: FriParams | None = None,
 # ---------------------------------------------------------------------------
 
 
-def prove_succinct(composer, pk: ProvingKey, perm_fn=None) -> SuccinctProof:
+def _rand_field_fn(rng):
+    if rng is None:
+        import secrets
+
+        return lambda: secrets.randbelow(P)
+    return lambda: int.from_bytes(rng.bytes(40), "little") % P
+
+
+def _blind(poly, n: int, n_coeffs: int, rand_field) -> list[int]:
+    """poly + r(X)*(X^n - 1) with deg r < n_coeffs: unchanged on H (so
+    every PLONK identity survives), while the n_coeffs fresh random
+    coefficients statistically hide up to n_coeffs-1 revealed off-H
+    evaluations (Z_H is nonzero there, so the revealed vector is shifted
+    by a full-rank Vandermonde image of r)."""
+    out = list(poly) + [0] * (n + n_coeffs - len(poly))
+    for k in range(n_coeffs):
+        r = rand_field()
+        out[k + n] = (out[k + n] + r) % P
+        out[k] = (out[k] - r) % P
+    return out
+
+
+def prove_succinct(composer, pk: ProvingKey, perm_fn=None,
+                   rng=None) -> SuccinctProof:
     """Produce the succinct argument for the composer's witness (the
-    reference analogue: prover.prove via KZG, gadget.rs:217)."""
+    reference analogue: prover.prove via KZG, gadget.rs:217). With
+    pk.params.zk the witness polynomials are Z_H-blinded first (rng: an
+    optional np.random.Generator for deterministic tests; default uses
+    the OS CSPRNG)."""
     if perm_fn is None:
         perm_fn = default_pcs_perm()
     key, params = pk.key, pk.params
     n, omega = key.n, key.omega
-    d_bound = 4 * n
+    bounds = _bounds(n, params)
+    d_bound = bounds["D"]
     m0 = params.blowup * d_bound
     final_degree = min(params.final_degree, d_bound // 2)
     n_folds = (d_bound // final_degree).bit_length() - 1
 
     wire_evals, wires = _wire_polys(composer, key)
     pi_col = _public_input_column(composer, n)
+    rand_field = _rand_field_fn(rng)
+    if params.zk:
+        wires = tuple(_blind(w, n, bounds["zkw"], rand_field)
+                      for w in wires)
+
+    from .plonk import statement_digest
 
     tr = Transcript()
-    tr.absorb(pk.digest, *pi_col)
+    tr.absorb(statement_digest(pk.digest, pi_col))
 
     coms: dict[str, _Com] = {}
     for name, poly in zip("abod", wires):
@@ -500,11 +574,15 @@ def prove_succinct(composer, pk: ProvingKey, perm_fn=None) -> SuccinctProof:
     gamma = tr.challenge()
 
     z = _grand_product(wire_evals, key, beta, gamma)
+    if params.zk:
+        z = _blind(z, n, bounds["zkz"], rand_field)
     coms["z"] = _commit_poly(z, m0, perm_fn)
     tr.absorb(coms["z"].root)
     alpha = tr.challenge()
 
-    t = _quotient(key, wires, z, pi_col, beta, gamma, alpha)
+    # quotient of the (possibly blinded) polynomials — the identities hold
+    # on H exactly as before, but the degree needs the larger coset
+    t = _quotient(key, wires, z, pi_col, beta, gamma, alpha, m=d_bound)
     coms["t"] = _commit_poly(t, m0, perm_fn)
     tr.absorb(coms["t"].root)
     zeta = tr.challenge()
@@ -528,7 +606,7 @@ def prove_succinct(composer, pk: ProvingKey, perm_fn=None) -> SuccinctProof:
     poly_evals = {name: coms[name].evals for name in coms}
     for name, com in pk.key_coms.items():
         poly_evals[name] = com.evals
-    f = _deep_compose(m0, n, poly_evals, evals, zeta, omega, gdeep)
+    f = _deep_compose(m0, bounds, poly_evals, evals, zeta, omega, gdeep)
 
     # FRI commit phase: fold n_folds times, committing layers 1..L-1
     layer_coms: list[_Com] = []
@@ -639,7 +717,8 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
     if perm_fn is None:
         perm_fn = default_pcs_perm()
     n, omega, params = vk.n, vk.omega, vk.params
-    d_bound = 4 * n
+    bounds = _bounds(n, params)
+    d_bound = bounds["D"]
     m0 = params.blowup * d_bound
     final_degree = min(params.final_degree, d_bound // 2)
     n_folds = (d_bound // final_degree).bit_length() - 1
@@ -658,9 +737,11 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
 
     # 1. replay the transcript (the statement: PI column truncated to the
     # gate count and padded to the domain, exactly as the prover absorbed)
+    from .plonk import statement_digest
+
     pi = [int(v) % P for v in public_inputs][:vk.n_gates]
     tr = Transcript()
-    tr.absorb(vk.digest, *(pi + [0] * (n - len(pi))))
+    tr.absorb(statement_digest(vk.digest, pi + [0] * (n - len(pi))))
     for name in "abod":
         if name not in proof.roots:
             return False
@@ -761,8 +842,8 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
         opened_lo = {name: flat_values[name][2 * qi] for name in all_roots}
         opened_hi = {name: flat_values[name][2 * qi + 1]
                      for name in all_roots}
-        f_lo = _deep_eval(x, n, opened_lo, ev, zeta, omega, gdeep)
-        f_hi = _deep_eval((P - x) % P, n, opened_hi, ev, zeta, omega,
+        f_lo = _deep_eval(x, bounds, opened_lo, ev, zeta, omega, gdeep)
+        f_hi = _deep_eval((P - x) % P, bounds, opened_hi, ev, zeta, omega,
                           gdeep)
         v = _fold_pair(f_lo, f_hi, betas[0], x)
         i_k = q  # index into layer 1 (size m0/2)

@@ -176,6 +176,14 @@ def commit(coeffs: list[int]) -> int:
     return int.from_bytes(h.digest(), "little") % P
 
 
+def commit_bytes(stream: bytes) -> int:
+    """commit() on a pre-serialized coefficient stream (32-byte LE per
+    canonical value): bit-identical to commit(coeffs) for the same values,
+    without re-serializing int-by-int (the batched prover hashes device
+    output buffers directly)."""
+    return int.from_bytes(hashlib.sha256(stream).digest(), "little") % P
+
+
 def key_digest(key: "CircuitKey") -> int:
     """Digest of the preprocessed circuit (selectors, sigmas, domain) as one
     field element. Absorbed into the Fiat-Shamir transcript together with
@@ -192,6 +200,23 @@ def key_digest(key: "CircuitKey") -> int:
     for s in key.sigmas:
         for c in s:
             h.update(int(c % P).to_bytes(32, "little"))
+    return int.from_bytes(h.digest(), "little") % P
+
+
+def statement_digest(key_or_digest, pi_col) -> int:
+    """One field element binding the full statement: the circuit digest
+    (key_digest, or its precomputed int) and the public-input column.
+    Absorbed ONCE into the transcript instead of streaming the n-element
+    column through the sponge — binding is equivalent (SHA-256 compresses
+    the statement; the sponge remains the random oracle for challenges)
+    and the host cost drops from O(n/4) Hades permutations to one SHA
+    pass, which dominated batched proving (PERF.md round 3)."""
+    digest = (key_or_digest if isinstance(key_or_digest, int)
+              else key_digest(key_or_digest))
+    h = hashlib.sha256()
+    h.update(digest.to_bytes(32, "little"))
+    for v in pi_col:
+        h.update(int(v % P).to_bytes(32, "little"))
     return int.from_bytes(h.digest(), "little") % P
 
 
@@ -349,13 +374,16 @@ def _grand_product(wire_evals, key: CircuitKey, beta: int,
 
 
 def _quotient(key: CircuitKey, wires, z, pi_col, beta: int, gamma: int,
-              alpha: int) -> list[int]:
+              alpha: int, m: int | None = None) -> list[int]:
     """The quotient polynomial t = [gate + alpha perm + alpha^2 boundary]
-    / Z_H, computed on a 4n coset (gate poly degree <= 3(n-1); perm terms
-    <= 5n)."""
+    / Z_H, computed on an m-point coset (default 4n — enough for
+    unblinded witnesses: gate poly degree <= 3(n-1); perm terms <= 5n.
+    fri.py's zero-knowledge mode passes a larger m because Z_H-blinded
+    wires push the combined degree past 4n)."""
     n = key.n
     omega_pows = _omega_pows(key)
-    m = 4 * n
+    if m is None:
+        m = 4 * n
     g = 7  # coset shift: generator, g^m H_m never meets H
     ce = lambda poly: _coset_eval(poly, m, g)
     a_c, b_c, o_c, d_c = (ce(w) for w in wires)
@@ -413,8 +441,8 @@ def prove(composer: Composer, key: CircuitKey | None = None) -> Proof:
 
     tr = Transcript()
     # statement binding: circuit digest + full PI column enter the
-    # transcript before any challenge (see key_digest docstring)
-    tr.absorb(key_digest(key), *pi_col)
+    # transcript before any challenge (see key_digest/statement_digest)
+    tr.absorb(statement_digest(key, pi_col))
     cm = {}
     for name, poly in zip("abod", wires):
         cm[name] = commit(poly)
@@ -458,7 +486,7 @@ def verify(key: CircuitKey, proof: Proof, public_inputs: list[int]) -> bool:
     # 1. transcript binding: statement (circuit digest + PI column) first,
     # then recompute commitments + challenges
     tr = Transcript()
-    tr.absorb(key_digest(key), *pi)
+    tr.absorb(statement_digest(key, pi))
     for name, poly in zip("abod", proof.wires):
         if commit(poly) != proof.commitments.get(name):
             return False

@@ -48,7 +48,6 @@ from .plonk import (
     _coset_eval,
     _public_input_column,
     _wire_indices,
-    commit,
     key_digest,
 )
 from .utils.encoding import digits_to_ints, ints_to_digits
@@ -263,6 +262,20 @@ def _digits_to_int_rows(arr: np.ndarray) -> list:
     return ints.tolist()
 
 
+def _commit_rows(dev_arr) -> np.ndarray:
+    """sha commitments of each (n, D) polynomial row of a (..., n, D)
+    device output, hashed straight from the digit buffer (bit-identical
+    to plonk.commit on the int lists — canonical digits < 2^16 serialize
+    to exactly the 32-byte-LE stream commit hashes)."""
+    a = np.ascontiguousarray(np.asarray(dev_arr)).astype("<u2")
+    lead = a.shape[:-2]
+    flat = a.reshape((-1,) + a.shape[-2:])
+    out = np.empty(flat.shape[0], dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = plonk.commit_bytes(flat[i].tobytes())
+    return out.reshape(lead)
+
+
 def prove_batched(composers: list[Composer],
                   key: CircuitKey | None = None) -> list[Proof]:
     """Prove B instances of one circuit with the device doing the
@@ -300,14 +313,15 @@ def prove_batched(composers: list[Composer],
     # phase 1: wire coefficient forms
     wires_dev = _phase1_wires(wire_evals)
     wires_int = _digits_to_int_rows(wires_dev)
+    wire_cms = _commit_rows(wires_dev)          # (B, 4) object ints
 
     transcripts, betas, gammas, cms = [], [], [], []
     for i in range(b):
         tr = Transcript()
-        tr.absorb(digest, *pi_cols[i])
+        tr.absorb(plonk.statement_digest(digest, pi_cols[i]))
         cm = {}
-        for name, poly in zip("abod", wires_int[i]):
-            cm[name] = commit(poly)
+        for j, name in enumerate("abod"):
+            cm[name] = wire_cms[i, j]
             tr.absorb(cm[name])
         transcripts.append(tr)
         cms.append(cm)
@@ -325,10 +339,11 @@ def prove_batched(composers: list[Composer],
         jnp.asarray(tables["one_mont"]),
     )
     z_int = _digits_to_int_rows(z_dev)
+    z_cms = _commit_rows(z_dev)
 
     alphas = []
     for i in range(b):
-        cms[i]["z"] = commit(z_int[i])
+        cms[i]["z"] = z_cms[i]
         transcripts[i].absorb(cms[i]["z"])
         alphas.append(transcripts[i].challenge())
     alpha_d = jnp.asarray(ints_to_digits(alphas, shape=(b,)))
@@ -346,10 +361,11 @@ def prove_batched(composers: list[Composer],
         jnp.asarray(tables["one_mont"]),
     )
     t_int = _digits_to_int_rows(t_dev)
+    t_cms = _commit_rows(t_dev)
 
     proofs = []
     for i in range(b):
-        cms[i]["t"] = commit(t_int[i])
+        cms[i]["t"] = t_cms[i]
         proofs.append(
             Proof(wires=tuple(wires_int[i]), z=z_int[i], t=t_int[i],
                   commitments=cms[i])

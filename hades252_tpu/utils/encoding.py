@@ -9,27 +9,43 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..params import N_DIGITS, P, digits_to_int, int_to_digits
+from ..params import N_DIGITS, P, digits_to_int
 
 
 def ints_to_digits(values, shape=None) -> np.ndarray:
-    """List/array of canonical Python ints -> (..., N_DIGITS) uint32."""
+    """List/array of canonical Python ints -> (..., N_DIGITS) uint32.
+
+    Fast path: one to_bytes per value + a single frombuffer decode
+    (instead of N_DIGITS shift/mask ops per value) — this conversion sits
+    on the host side of every device<->bigint boundary (prover phases,
+    PCS tree building) and was a measured bottleneck of batched proving."""
     flat = [int(v) for v in np.asarray(values, dtype=object).reshape(-1)]
     for v in flat:
         if not 0 <= v < P:
             raise ValueError(f"not a canonical field element: {v}")
-    out = np.stack([int_to_digits(v) for v in flat])
     if shape is None:
         shape = np.asarray(values, dtype=object).shape
+    if not flat:
+        return np.zeros(tuple(shape) + (N_DIGITS,), np.uint32)
+    buf = b"".join(v.to_bytes(32, "little") for v in flat)
+    out = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
     return out.reshape(tuple(shape) + (N_DIGITS,))
 
 
 def digits_to_ints(digits) -> np.ndarray:
-    """(..., N_DIGITS) uint array -> object array of Python ints."""
+    """(..., N_DIGITS) uint array -> object array of Python ints.
+
+    Fast path for NORMALIZED digits (< 2^16, the invariant of every field
+    op's output): one uint16 serialization + one from_bytes per value."""
     digits = np.asarray(digits)
     lead = digits.shape[:-1]
     flat = digits.reshape(-1, digits.shape[-1])
     out = np.empty(flat.shape[0], dtype=object)
+    if flat.shape[-1] == N_DIGITS and flat.size and (flat < 65536).all():
+        buf = np.ascontiguousarray(flat).astype("<u2").tobytes()
+        for i in range(flat.shape[0]):
+            out[i] = int.from_bytes(buf[32 * i : 32 * (i + 1)], "little")
+        return out.reshape(lead)
     for i, d in enumerate(flat):
         out[i] = digits_to_int(d)
     return out.reshape(lead)

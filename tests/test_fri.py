@@ -189,6 +189,68 @@ def test_unsatisfiable_witness_cannot_prove():
         fri.prove_succinct(c, pk)
 
 
+# -- zero-knowledge mode ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zk_setup():
+    c = Composer()
+    a = c.append_witness(3)
+    b = c.append_witness(5)
+    c.gate_mul(Constraint().mult(1).a(a).b(b))
+    c.gate_add(Constraint().left(1).a(a).right(1).b(b).public(-8))
+    params = fri.FriParams(blowup=4, n_queries=6, final_degree=16, zk=True)
+    pk, vk = fri.preprocess_succinct(c, params)
+    return c, pk, vk
+
+
+def test_zk_roundtrip(zk_setup, rng):
+    c, pk, vk = zk_setup
+    import numpy as np
+
+    proof = fri.prove_succinct(c, pk, rng=np.random.default_rng(1))
+    pi = [g.pi for g in c.gates]
+    assert fri.verify_succinct(vk, proof, pi)
+    bad = list(pi)
+    bad[-1] = (bad[-1] + 1) % P
+    assert not fri.verify_succinct(vk, proof, bad)
+
+
+def test_zk_blinds_revealed_values(zk_setup):
+    # two proofs of the SAME witness: everything the proof reveals about
+    # the wire polynomials (roots, zeta evaluations, query openings) must
+    # differ — the Z_H-blinding randomness, not the witness, determines
+    # the revealed values
+    import numpy as np
+
+    c, pk, vk = zk_setup
+    p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(10))
+    p2 = fri.prove_succinct(c, pk, rng=np.random.default_rng(11))
+    pi = [g.pi for g in c.gates]
+    assert fri.verify_succinct(vk, p1, pi)
+    assert fri.verify_succinct(vk, p2, pi)
+    for name in ("a", "b", "o", "d", "z"):
+        assert p1.evals[name] != p2.evals[name]
+        assert p1.roots[name] != p2.roots[name]
+        assert p1.open_values[name] != p2.open_values[name]
+
+
+def test_zk_openings_differ_from_unblinded(zk_setup):
+    # the opened leaf values are NOT the unblinded wire polynomial's
+    # evaluations (the direct leak the blinding exists to close)
+    import numpy as np
+
+    c, pk, vk = zk_setup
+    proof = fri.prove_succinct(c, pk, rng=np.random.default_rng(3))
+    _, wires = plonk._wire_polys(c, pk.key)
+    m0 = pk.params.blowup * fri._bounds(pk.key.n, pk.params)["D"]
+    unblinded = fri._coset_eval(list(wires[0]), m0, fri.G0)
+    opened = [v for pair in proof.open_values["a"] for v in pair]
+    # recompute which indices were opened is transcript work; it suffices
+    # that no opened value coincides with ANY unblinded evaluation (whp)
+    assert not (set(opened) & set(unblinded))
+
+
 # -- the reference's integration cycle at full scale --------------------------
 
 
