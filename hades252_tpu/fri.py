@@ -142,16 +142,15 @@ def _tree_height(n_leaves: int) -> int:
     return h
 
 
-def tree_build(values, perm_fn) -> list[np.ndarray]:
-    """Commit a vector of field elements: all tree levels, leaves first.
+def tree_build_digits(leaves: np.ndarray, perm_fn) -> list[np.ndarray]:
+    """Commit a digit-array vector: all tree levels, leaves first.
 
-    values: list of canonical ints. Leaves beyond len(values) are
-    zero-padded to a power of 4."""
-    n = len(values)
-    leaves = ints_to_digits(list(values), shape=(n,))
+    leaves: (N, N_DIGITS) canonical digits; zero-padded to a power of 4."""
+    n = leaves.shape[0]
     full = ARITY ** _tree_height(n)
     level = np.concatenate(
-        [leaves, np.zeros((full - n, N_DIGITS), np.uint32)]
+        [np.asarray(leaves, np.uint32),
+         np.zeros((full - n, N_DIGITS), np.uint32)]
     )
     levels = [level]
     while level.shape[0] > 1:
@@ -164,6 +163,16 @@ def tree_build(values, perm_fn) -> list[np.ndarray]:
         )
         levels.append(level)
     return levels
+
+
+def tree_build(values, perm_fn) -> list[np.ndarray]:
+    """Commit a vector of field elements: all tree levels, leaves first.
+
+    values: list of canonical ints. Leaves beyond len(values) are
+    zero-padded to a power of 4."""
+    return tree_build_digits(
+        ints_to_digits(list(values), shape=(len(values),)), perm_fn
+    )
 
 
 def tree_root(levels) -> int:

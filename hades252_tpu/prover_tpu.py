@@ -69,15 +69,23 @@ def _mont(vals, shape) -> np.ndarray:
 _TABLE_CACHE: dict = {}
 
 
-def _key_tables(key: CircuitKey):
+def _key_tables(key: CircuitKey, m: int | None = None,
+                d_z: int | None = None):
     """Device constants derived from the circuit key (cached per key
     object — the one-time host cost of lifting the preprocessed
-    polynomials into Montgomery digit tables)."""
-    cached = _TABLE_CACHE.get(id(key))
+    polynomials into Montgomery digit tables). m: the quotient coset size
+    (default 4n; fri_tpu's zk mode passes the larger bound); d_z: length
+    of the omega table (default n; the blinded grand product is longer —
+    entries are omega^(i mod n) since omega^n = 1)."""
+    n = key.n
+    if m is None:
+        m = 4 * n
+    if d_z is None:
+        d_z = n
+    cache_key = (id(key), m, d_z)
+    cached = _TABLE_CACHE.get(cache_key)
     if cached is not None and cached[0] is key:
         return cached[1]
-    n = key.n
-    m = 4 * n
     g = QUOTIENT_SHIFT
     omega_pows = [1] * n
     for i in range(1, n):
@@ -104,10 +112,11 @@ def _key_tables(key: CircuitKey):
     l1_den_inv = plonk.batch_inverse([n * (x - 1) % P for x in xs])
     l1 = [zh[i] * l1_den_inv[i] % P for i in range(m)]
 
+    omega_ext = [omega_pows[i % n] for i in range(d_z)]
     tables = {
         "ids_mont": _mont(ids, (4, n)),
         "sigma_n_mont": _mont(sigma_evals, (4, n)),
-        "omega_mont": _mont(omega_pows, (n,)),
+        "omega_mont": _mont(omega_ext, (d_z,)),
         "kx_mont": _mont(kxs, (4, m)),
         "sigma_m_mont": _mont(s_c, (4, m)),
         "q_mont": {name: _mont(v, (m,)) for name, v in q_c.items()},
@@ -115,7 +124,7 @@ def _key_tables(key: CircuitKey):
         "l1_mont": _mont(l1, (m,)),
         "one_mont": _mont([1], (1,))[0],
     }
-    _TABLE_CACHE[id(key)] = (key, tables)
+    _TABLE_CACHE[cache_key] = (key, tables)
     return tables
 
 
@@ -180,10 +189,11 @@ def _pad_poly(coeffs: jnp.ndarray, m: int) -> jnp.ndarray:
 def _phase3_quotient(wires, z, pi_evals, beta, gamma, alpha, kx_mont,
                      sigma_m_mont, q_mont, zh_inv_mont, l1_mont,
                      omega_mont, one_mont):
-    """(B, 4, n, D) wire coeffs + (B, n, D) z coeffs + (B, n, D) PI
-    columns -> (B, m, D) quotient coefficients (canonical), m = 4n."""
-    n = z.shape[-2]
-    m = 4 * n
+    """(B, 4, d_w, D) wire coeffs + (B, d_z, D) z coeffs + (B, n, D) PI
+    columns -> (B, m, D) quotient coefficients (canonical). m comes from
+    the table shapes (4n unblinded; fri_tpu's zk mode passes larger
+    tables), so blinded inputs of length d_w/d_z > n work unchanged."""
+    m = kx_mont.shape[1]
     g = QUOTIENT_SHIFT
     ce = lambda c: ntt.coset_eval_batched(_pad_poly(c, m), g)
     w_c = ce(wires)                       # (B, 4, m, D)

@@ -1,0 +1,49 @@
+"""Device-resident succinct prover (fri_tpu.py): bit-identity with the
+host prover in both plain and zk modes — the contract that lets the TPU
+serve succinct proving while fri.prove_succinct stays the auditable
+oracle."""
+
+import numpy as np
+import pytest
+
+from hades252_tpu import fri, fri_tpu
+from hades252_tpu.gadget import Composer, Constraint
+
+
+def _circuit():
+    c = Composer()
+    a = c.append_witness(3)
+    b = c.append_witness(5)
+    c.gate_mul(Constraint().mult(1).a(a).b(b))
+    c.gate_add(Constraint().left(1).a(a).right(1).b(b).public(-8))
+    return c
+
+
+def _assert_same(p1, p2):
+    assert p1.roots == p2.roots
+    assert p1.evals == p2.evals
+    assert p1.fri.layer_roots == p2.fri.layer_roots
+    assert p1.fri.final_coeffs == p2.fri.final_coeffs
+    assert p1.fri.layer_values == p2.fri.layer_values
+    assert p1.open_values == p2.open_values
+    for k in p1.open_sibs:
+        assert np.array_equal(p1.open_sibs[k], p2.open_sibs[k]), k
+        assert np.array_equal(p1.open_poss[k], p2.open_poss[k]), k
+    for a1, a2 in zip(p1.fri.layer_sibs, p2.fri.layer_sibs):
+        assert np.array_equal(a1, a2)
+
+
+@pytest.mark.parametrize("zk", [False, True])
+def test_device_prover_bit_identical(zk):
+    c = _circuit()
+    pi = [g.pi for g in c.gates]
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8, zk=zk)
+    pk, vk = fri.preprocess_succinct(c, params)
+    host = fri.prove_succinct(c, pk, rng=np.random.default_rng(7))
+    dev = fri_tpu.prove_succinct_device(c, pk,
+                                        rng=np.random.default_rng(7))
+    _assert_same(host, dev)
+    assert fri.verify_succinct(vk, dev, pi)
+    bad = list(pi)
+    bad[-1] = bad[-1] + 1
+    assert not fri.verify_succinct(vk, dev, bad)
