@@ -341,6 +341,66 @@ def main_plonk():
     return 0
 
 
+def main_fri():
+    """Succinct-proof (DEEP-FRI) proving throughput: one 973-gate
+    permutation-preimage instance through the device-resident prover
+    (fri_tpu), blowup 4 / 16 queries / final degree 64 (~32-bit FRI
+    soundness — a throughput config; production uses FriParams()
+    defaults). Gate: the device proof must be BIT-IDENTICAL to the host
+    prover's and verify. Prints host and device sec/proof."""
+    from hades252_tpu import fri, fri_tpu
+    from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
+    from hades252_tpu.params import P, WIDTH
+    from hades252_tpu.strategy import ScalarStrategy
+
+    rng = np.random.default_rng(0)
+    x = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(WIDTH)]
+    expected = ScalarStrategy().perm(list(x))
+    c = Composer()
+    ws = [c.append_witness(w) for w in x]
+    GadgetStrategy.gadget(c, ws)
+    for w, e in zip(ws, expected):
+        c.append_gate(Constraint().left(1).a(w).public(-e))
+
+    params = fri.FriParams(blowup=4, n_queries=16, final_degree=64)
+    pk, vk = fri.preprocess_succinct(c, params)
+    pi = [g.pi for g in c.gates]
+
+    t0 = time.perf_counter()
+    host = fri.prove_succinct(c, pk)
+    host_secs = time.perf_counter() - t0
+
+    fri_tpu.prove_succinct_device(c, pk)  # compile + warm caches
+    t0 = time.perf_counter()
+    dev = fri_tpu.prove_succinct_device(c, pk)
+    dev_secs = time.perf_counter() - t0
+
+    ok = (host.roots == dev.roots and host.evals == dev.evals
+          and host.fri.final_coeffs == dev.fri.final_coeffs
+          and host.open_values == dev.open_values
+          and fri.verify_succinct(vk, dev, pi))
+    if not ok:
+        raise RuntimeError(
+            "device succinct proof deviates from the host oracle — "
+            "refusing to report a throughput number"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "fri_succinct_prove_973gates",
+                "value": round(1 / dev_secs, 3),
+                "unit": "proofs/sec/chip",
+                "sec_per_proof_device": round(dev_secs, 3),
+                "sec_per_proof_host": round(host_secs, 3),
+                "speedup": round(host_secs / dev_secs, 1),
+                "proof_field_elements": fri.proof_size_field_elements(dev),
+                "bit_identity_gate": "passed",
+            }
+        )
+    )
+    return 0
+
+
 def main_roofline():
     """Explicit v5e roofline per schedule (utils/roofline.py): exact VPU
     lane-op + MXU MAC counts from the instrumented kernel emulation, the
@@ -364,5 +424,5 @@ def main_roofline():
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "perm"
     sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge,
-              "cipher": main_cipher, "plonk": main_plonk,
+              "cipher": main_cipher, "plonk": main_plonk, "fri": main_fri,
               "roofline": main_roofline}[mode]())

@@ -220,12 +220,45 @@ def statement_digest(key_or_digest, pi_col) -> int:
     return int.from_bytes(h.digest(), "little") % P
 
 
+_TRANSCRIPT_PERM = None
+
+
+def _transcript_perm():
+    """Width-5 host permutation for Fiat-Shamir transcripts: the native
+    C++ engine when available (bit-identical to the int oracle by the
+    KAT suite, ~10x faster per call), else the exact Python schedule.
+    Cached module-wide — transcript throughput gates every prover and
+    verifier on the host side."""
+    global _TRANSCRIPT_PERM
+    if _TRANSCRIPT_PERM is not None:
+        return _TRANSCRIPT_PERM
+    perm = None
+    try:
+        from .utils import native
+
+        if native.available():
+            from .utils.encoding import digits_to_ints, ints_to_digits
+
+            def perm(ws):
+                arr = ints_to_digits([w % P for w in ws], shape=(1, 5))
+                out = native.perm_batch_digits(arr)
+                return [int(v) for v in digits_to_ints(out[0])]
+
+    except Exception:
+        perm = None
+    if perm is None:
+        strat = ScalarStrategy()
+        perm = lambda ws: strat.perm(list(ws))
+    _TRANSCRIPT_PERM = perm
+    return perm
+
+
 class Transcript:
     """Hades-sponge Fiat-Shamir transcript (width-5 permutation, capacity
     word chained, rate 4)."""
 
     def __init__(self, label: int = 0x4841444553):  # "HADES"
-        self._strat = ScalarStrategy()
+        self._perm = _transcript_perm()
         self._state = [label % P, 0, 0, 0, 0]
 
     def absorb(self, *values: int) -> None:
@@ -234,11 +267,11 @@ class Transcript:
             chunk = vals[i : i + 4]
             for j, v in enumerate(chunk):
                 self._state[1 + j] = (self._state[1 + j] + v) % P
-            self._state = self._strat.perm(self._state)
+            self._state = self._perm(self._state)
 
     def challenge(self) -> int:
         c = self._state[1]
-        self._state = self._strat.perm(self._state)
+        self._state = self._perm(self._state)
         return c
 
 
