@@ -175,6 +175,45 @@ def cipher_sharded(key, nonce, data, mesh: Mesh, *, decrypt: bool = False,
     )
 
 
+def sharded_phases(mesh: Mesh):
+    """Data-parallel PLONK proving: the three device phases of
+    prover_tpu (wire iNTTs, grand product, quotient) wrapped in shard_map
+    over the INSTANCE axis. Proof instances are independent, so there is
+    no cross-device traffic — proving scales like the permutation batch
+    (SURVEY.md §2.5: data parallelism is THE axis). Returns
+    (phase1, phase2, phase3) drop-ins; prover_tpu.prove_batched(mesh=...)
+    uses them and stays bit-identical to the single-device path."""
+    from .. import prover_tpu as pt
+
+    b4 = P(AXIS, None, None, None)
+    b3 = P(AXIS, None, None)
+    b2 = P(AXIS, None)
+    rep = P()  # replicated constant tables (pytree-prefix spec)
+    phase1 = _cached_jit(
+        mesh, ("prove.phase1",),
+        lambda: shard_map(pt._phase1_wires, mesh=mesh, in_specs=b4,
+                          out_specs=b4, check_vma=False),
+    )
+    phase2 = _cached_jit(
+        mesh, ("prove.phase2",),
+        lambda: shard_map(
+            pt._phase2_grand_product, mesh=mesh,
+            in_specs=(b4, b2, b2, rep, rep, rep),
+            out_specs=b3, check_vma=False,
+        ),
+    )
+    phase3 = _cached_jit(
+        mesh, ("prove.phase3",),
+        lambda: shard_map(
+            pt._phase3_quotient, mesh=mesh,
+            in_specs=(b4, b3, b3, b2, b2, b2,
+                      rep, rep, rep, rep, rep, rep, rep),
+            out_specs=b3, check_vma=False,
+        ),
+    )
+    return phase1, phase2, phase3
+
+
 def _local_tree_height(n_local: int) -> int:
     h = 0
     while n_local % (ARITY ** (h + 1)) == 0:

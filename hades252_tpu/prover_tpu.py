@@ -287,15 +287,34 @@ def _commit_rows(dev_arr) -> np.ndarray:
 
 
 def prove_batched(composers: list[Composer],
-                  key: CircuitKey | None = None) -> list[Proof]:
+                  key: CircuitKey | None = None,
+                  mesh=None) -> list[Proof]:
     """Prove B instances of one circuit with the device doing the
     polynomial work. Every composer must share the first one's gate/wire
     structure (same circuit, different witnesses); the returned proofs are
-    bit-identical to [plonk.prove(c, key) for c in composers]."""
+    bit-identical to [plonk.prove(c, key) for c in composers].
+
+    mesh: an optional jax.sharding.Mesh — the three device phases then
+    shard over the instance axis (parallel/dist.sharded_phases; B must
+    divide by the mesh size). Instances are independent, so multi-chip
+    proving is communication-free data parallelism."""
     if not composers:
         return []
     if key is None:
         key = plonk.preprocess(composers[0])
+    if mesh is None:
+        phase1, phase2, phase3 = (
+            _phase1_wires, _phase2_grand_product, _phase3_quotient
+        )
+    else:
+        from .parallel.dist import AXIS, sharded_phases
+
+        if len(composers) % mesh.shape[AXIS] != 0:
+            raise ValueError(
+                f"batch {len(composers)} not divisible by mesh size "
+                f"{mesh.shape[AXIS]}"
+            )
+        phase1, phase2, phase3 = sharded_phases(mesh)
     n = key.n
     ref_idx = _wire_indices(composers[0])
     for c in composers[1:]:
@@ -321,7 +340,7 @@ def prove_batched(composers: list[Composer],
     ]
 
     # phase 1: wire coefficient forms
-    wires_dev = _phase1_wires(wire_evals)
+    wires_dev = phase1(wire_evals)
     wires_int = _digits_to_int_rows(wires_dev)
     wire_cms = _commit_rows(wires_dev)          # (B, 4) object ints
 
@@ -342,7 +361,7 @@ def prove_batched(composers: list[Composer],
     gamma_d = jnp.asarray(ints_to_digits(gammas, shape=(b,)))
 
     # phase 2: grand product
-    z_dev = _phase2_grand_product(
+    z_dev = phase2(
         wire_evals, beta_d, gamma_d,
         jnp.asarray(tables["ids_mont"]),
         jnp.asarray(tables["sigma_n_mont"]),
@@ -360,7 +379,7 @@ def prove_batched(composers: list[Composer],
 
     # phase 3: quotient
     pi_evals = jnp.asarray(ints_to_digits(pi_cols, shape=(b, n)))
-    t_dev = _phase3_quotient(
+    t_dev = phase3(
         wires_dev, z_dev, pi_evals, beta_d, gamma_d, alpha_d,
         jnp.asarray(tables["kx_mont"]),
         jnp.asarray(tables["sigma_m_mont"]),

@@ -125,3 +125,32 @@ def test_cipher_sharded_matches_single(rng, mesh8):
                                          decrypt=True)
     assert np.array_equal(np.asarray(pt_s), np.asarray(msg))
     assert np.array_equal(np.asarray(tag_back), np.asarray(tag1))
+
+
+def test_prove_batched_sharded_matches_single(mesh8):
+    # data-parallel PLONK proving: the three device phases shard over the
+    # instance axis (communication-free); proofs must be bit-identical to
+    # the single-device batched prover (itself bit-identical to the host
+    # prover, tests/test_prover_tpu.py)
+    from hades252_tpu import plonk, prover_tpu
+    from hades252_tpu.gadget import Composer, Constraint
+
+    def instance(v1, v2):
+        c = Composer()
+        a = c.append_witness(v1)
+        b = c.append_witness(v2)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+        c.gate_add(
+            Constraint().left(1).a(a).right(1).b(b).public(-((v1 + v2) % P))
+        )
+        return c
+
+    composers = [instance(3 + i, 5 + i) for i in range(8)]
+    key = plonk.preprocess(composers[0])
+    sharded = prover_tpu.prove_batched(composers, key, mesh=mesh8)
+    single = prover_tpu.prove_batched(composers, key)
+    for s, u in zip(sharded, single):
+        assert s.wires == u.wires and s.z == u.z and s.t == u.t
+        assert s.commitments == u.commitments
+    with pytest.raises(ValueError, match="not divisible"):
+        prover_tpu.prove_batched(composers[:3], key, mesh=mesh8)
