@@ -101,17 +101,16 @@ EVAL_ORDER = ("a", "b", "o", "d", "z", "zw", "t") + SELECTOR_NAMES + SIGMA_NAMES
 
 
 def default_pcs_perm():
-    """(B, WIDTH, N_DIGITS) canonical batched permutation for commitment
-    trees: fused Pallas kernel on TPU; native C++ oracle on CPU hosts;
-    numpy-emulated kernel body as the dependency-free fallback. All are
-    bit-identical (selftest KATs), so trees built by any backend verify
-    against roots built by any other."""
-    import jax
-
-    if jax.default_backend() == "tpu":
-        from .ops.perm_pallas import permute_pallas
-
-        return lambda s: np.asarray(permute_pallas(s))
+    """(B, WIDTH, N_DIGITS) canonical batched permutation for HOST-
+    orchestrated commitment trees: the native C++ oracle when available,
+    the numpy-emulated kernel body otherwise. Deliberately NOT the TPU
+    kernel even on TPU hosts — tree building here loops levels on the
+    host, and a device round-trip per level (plus a relay compile per
+    distinct level shape) is far slower than the native engine for these
+    tree sizes; the fully device-resident tree path lives in fri_tpu
+    (_build_levels / _level_up_dev). All backends are bit-identical
+    (selftest KATs), so trees built by any backend verify against roots
+    built by any other."""
     try:
         from .utils import native
 
