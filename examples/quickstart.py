@@ -75,3 +75,19 @@ key_ck = plonk.preprocess(c)
 proof = plonk.prove(c, key_ck)
 print("plonk proof verifies:", plonk.verify(key_ck, proof,
                                             [g.pi for g in c.gates]))
+
+# --- succinct + zero-knowledge proofs (Hades-Merkle + DEEP-FRI PCS) ----------
+# the same argument with commitments that bind polynomials: sublinear
+# proofs, no trusted setup, optional Z_H-blinding (zk). Tiny circuit +
+# light parameters here; production uses fri.FriParams() defaults.
+from hades252_tpu import fri
+tiny = h.Composer()
+a = tiny.append_witness(3)
+b = tiny.append_witness(5)
+tiny.gate_mul(h.Constraint().mult(1).a(a).b(b))
+params = fri.FriParams(blowup=4, n_queries=4, final_degree=8, zk=True)
+pk, vk = fri.preprocess_succinct(tiny, params)
+sp = fri.prove_succinct(tiny, pk)
+print("succinct zk proof verifies:",
+      fri.verify_succinct(vk, sp, [g.pi for g in tiny.gates]),
+      f"({fri.proof_size_field_elements(sp)} field elements)")
