@@ -1,28 +1,36 @@
 """Device-resident succinct (DEEP-FRI) prover: the flagship crypto path
-on the TPU end to end.
+on the TPU end to end, batched over instances.
 
 fri.prove_succinct is host-side Python big-int: coset NTTs over the
 blown-up domain, Merkle tree hashing, the DEEP composition, and the FRI
 folds all run as int loops. This module re-executes the SAME protocol
-with every O(m0)-sized object living on the device as digit arrays:
+with every O(m0)-sized object living on the device as digit arrays, with
+a leading INSTANCE axis throughout:
 
   * wire/z/t polynomials come from prover_tpu's jitted phases (batched
     NTT interpolation, associative-scan grand product, coset quotient);
   * commitments evaluate each polynomial on L0 with ops/ntt's batched
     coset NTT and hash the arity-4 tree levels with the fused Pallas
-    permutation, level by level, entirely on device (roots — 32 bytes —
-    are all that crosses to the host transcript);
-  * the DEEP composition and every FRI fold are batched field ops
-    (Montgomery-form constant tables precomputed host-side, cached);
+    permutation — all B instances' trees per level in ONE kernel call —
+    entirely on device (roots, 32 bytes each, are all that crosses to
+    the host transcripts);
+  * the DEEP composition and every FRI fold are batched field ops with
+    per-instance challenge scalars (Montgomery constant tables cached);
   * only transcript scalars, the small final-layer coefficients, and the
-    query openings (device gathers) are ever fetched.
+    query openings (batched device gathers) are ever fetched.
 
-The emitted SuccinctProof is BIT-IDENTICAL to fri.prove_succinct's for
+Batching matters here specifically because of the serving topology: the
+prover is a fixed sequence of ~40 device calls, so through a relay its
+latency is round-trip-bound (PERF.md) — B instances ride the SAME call
+sequence and amortize every round trip.
+
+Each emitted SuccinctProof is BIT-IDENTICAL to fri.prove_succinct's for
 the same (composer, pk, rng) — same transcripts, same roots, same
 openings (tests/test_fri_tpu.py asserts object equality) — so
-fri.verify_succinct accepts it unchanged and the host prover remains the
-auditable oracle. Both modes (plain and zk) are supported; zk blinding
-draws the identical randomness stream and applies it on device.
+fri.verify_succinct accepts them unchanged and the host prover remains
+the auditable oracle. Both modes (plain and zk) are supported; zk
+blinding draws each instance's randomness stream identically to the host
+and applies it on device.
 
 On non-TPU backends the tree hashing falls back to the host path
 (fri.tree_build_digits with the native/emulated permutation) while the
@@ -119,7 +127,7 @@ def _pk_key_evals(pk: ProvingKey) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Device primitives
+# Device primitives (leading instance axis B everywhere)
 # ---------------------------------------------------------------------------
 
 
@@ -134,60 +142,74 @@ def _coset_eval_dev(coeffs: jnp.ndarray, m0: int) -> jnp.ndarray:
 
 @jax.jit
 def _level_up_dev(level: jnp.ndarray) -> jnp.ndarray:
-    """One PCS-tree level on device: (N, D) -> (N/4, D) parent digests
-    via the fused kernel (node rule identical to fri.tree_build)."""
+    """One PCS-tree level on device for all instances at once:
+    (B, N, D) -> (B, N/4, D) parent digests via ONE fused-kernel call
+    (node rule identical to fri.tree_build)."""
     from .ops.perm_pallas import permute_pallas
 
-    k = level.shape[0] // ARITY
-    children = level.reshape(k, ARITY, N_DIGITS)
+    b, n = level.shape[0], level.shape[1]
+    k = n // ARITY
+    children = level.reshape(b * k, ARITY, N_DIGITS)
     tag = jnp.broadcast_to(jnp.asarray(fri._tag_digits()),
-                           (k, 1, N_DIGITS))
+                           (b * k, 1, N_DIGITS))
     states = jnp.concatenate([tag, children], axis=1)
-    return permute_pallas(states)[:, DIGEST_INDEX, :]
+    out = permute_pallas(states)[:, DIGEST_INDEX, :]
+    return out.reshape(b, k, N_DIGITS)
 
 
 def _build_levels(leaves) -> list:
-    """All tree levels for a (N, D) digit leaf vector. On TPU the levels
-    stay device-resident; elsewhere the host path (native/emulated perm)
-    builds them — digests are bit-identical either way (KAT gates)."""
+    """All tree levels for a (B, N, D) digit leaf batch. On TPU the
+    levels stay device-resident; elsewhere the host path (native/emulated
+    perm) builds them per instance — digests are bit-identical either way
+    (KAT gates)."""
     if jax.default_backend() != "tpu":
-        return fri.tree_build_digits(np.asarray(leaves),
-                                     fri.default_pcs_perm())
-    n = leaves.shape[0]
+        host = [
+            fri.tree_build_digits(np.asarray(leaves[i]),
+                                  fri.default_pcs_perm())
+            for i in range(leaves.shape[0])
+        ]
+        return [np.stack([host[i][lvl] for i in range(len(host))])
+                for lvl in range(len(host[0]))]
+    b, n = leaves.shape[0], leaves.shape[1]
     full = ARITY ** _tree_height(n)
-    level = jnp.pad(jnp.asarray(leaves), ((0, full - n), (0, 0)))
+    level = jnp.pad(jnp.asarray(leaves), ((0, 0), (0, full - n), (0, 0)))
     levels = [level]
-    while level.shape[0] > 1:
+    while level.shape[1] > 1:
         level = _level_up_dev(level)
         levels.append(level)
     return levels
 
 
-def _root_int(levels) -> int:
-    return int(digits_to_ints(np.asarray(levels[-1])[0:1])[0])
+def _root_ints(levels) -> list:
+    """(B,) root ints from the last (B, 1, D) level."""
+    return [int(v) for v in digits_to_ints(np.asarray(levels[-1])[:, 0])]
 
 
-def _open_batched_dev(levels, indices):
-    """Compact batched openings from (device or host) levels —
-    bit-identical to fri.tree_open_batched. Only the needed (K, 4, D)
-    groups per level are fetched."""
-    idx = np.asarray(list(indices), np.int64)
-    k = idx.shape[0]
+def _open_batched_dev(levels, indices_b: np.ndarray):
+    """Compact batched openings for every instance — per instance
+    bit-identical to fri.tree_open_batched. indices_b: (B, K). Returns
+    (sibs (B, K, h, 3, D), poss (B, K, h)) with one gather per level."""
+    idx = np.asarray(indices_b, np.int64)
+    b, k = idx.shape
     h = len(levels) - 1
-    sibs = np.empty((k, h, ARITY - 1, N_DIGITS), np.uint32)
-    poss = np.empty((k, h), np.int32)
+    sibs = np.empty((b, k, h, ARITY - 1, N_DIGITS), np.uint32)
+    poss = np.empty((b, k, h), np.int32)
     cur = idx.copy()
     for lvl in range(h):
         g = cur // ARITY
         pos = cur % ARITY
-        grouped = jnp.asarray(levels[lvl]).reshape(-1, ARITY, N_DIGITS)
-        groups = np.asarray(jnp.take(grouped, jnp.asarray(g), axis=0))
-        for i in range(k):
-            p = int(pos[i])
-            sibs[i, lvl] = np.concatenate(
-                [groups[i, :p], groups[i, p + 1 :]], axis=0
-            )
-        poss[:, lvl] = pos
+        arr = jnp.asarray(levels[lvl])
+        grouped = arr.reshape(b, -1, ARITY, N_DIGITS)
+        groups = np.asarray(jnp.take_along_axis(
+            grouped, jnp.asarray(g)[:, :, None, None], axis=1
+        ))  # (B, K, 4, D)
+        for bi in range(b):
+            for ki in range(k):
+                p = int(pos[bi, ki])
+                sibs[bi, ki, lvl] = np.concatenate(
+                    [groups[bi, ki, :p], groups[bi, ki, p + 1 :]], axis=0
+                )
+        poss[:, :, lvl] = pos
         cur = g
     return sibs, poss
 
@@ -208,20 +230,22 @@ def _blind_dev(coeffs: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
 
 
 def _deep_dev(stack, vs, gammas, pows, inv_a, inv_b, spec):
-    """F on L0: stack (T_rows, m0, D) poly evaluations; vs (T, D) claimed
-    values; gammas (T, D) Montgomery gdeep powers; pows (S, m0, D)
-    Montgomery x^s tables; inv_a/inv_b (m0, D) Montgomery 1/(x - zeta),
-    1/(x - omega*zeta); spec: static tuple of (row, s_index, shifted)."""
-    acc = jnp.zeros(stack.shape[1:], jnp.uint32)
+    """F on L0 per instance: stack (B, T_rows, m0, D) poly evaluations;
+    vs (B, T, D) claimed values; gammas (B, T, D) Montgomery gdeep powers;
+    pows (S, m0, D) shared Montgomery x^s tables; inv_a/inv_b (B, m0, D)
+    Montgomery 1/(x - zeta_i), 1/(x - omega*zeta_i); spec: static tuple
+    of (row, s_index, shifted). Returns (B, m0, D)."""
+    out_shape = (stack.shape[0],) + stack.shape[2:]
+    acc = jnp.zeros(out_shape, jnp.uint32)
     for j, (row, s_idx, shifted) in enumerate(spec):
-        diff = field.sub_mod(stack[row], jnp.broadcast_to(
-            vs[j], stack.shape[1:]
-        ))
-        term = field.mont_mul(diff, pows[s_idx])
+        diff = field.sub_mod(
+            stack[:, row], jnp.broadcast_to(vs[:, j, None, :], out_shape)
+        )
+        term = field.mont_mul(diff, pows[s_idx][None])
         term = field.mont_mul(term, inv_b if shifted else inv_a)
-        term = field.mont_mul(term, jnp.broadcast_to(
-            gammas[j], term.shape
-        ))
+        term = field.mont_mul(
+            term, jnp.broadcast_to(gammas[:, j, None, :], out_shape)
+        )
         acc = field.add_mod(acc, term)
     return acc
 
@@ -230,27 +254,36 @@ _deep_dev_jit = jax.jit(_deep_dev, static_argnames=("spec",))
 
 
 @jax.jit
-def _inv_mont_dev(xs: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery-form 1/(x_i - point) over the L0 point table."""
-    diff = field.sub_mod(xs, jnp.broadcast_to(point, xs.shape))
+def _inv_mont_dev(xs: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery-form 1/(x_i - point_b) over the L0 point table:
+    xs (m0, D), points (B, D) -> (B, m0, D)."""
+    diff = field.sub_mod(
+        jnp.broadcast_to(xs[None], (points.shape[0],) + xs.shape),
+        jnp.broadcast_to(points[:, None, :],
+                         (points.shape[0],) + xs.shape),
+    )
     return field.to_mont(field.invert(diff))
 
 
 @jax.jit
 def _fold_dev(evals, beta_mont, xinv_mont, inv2_mont):
-    """One FRI fold on device — value-identical to fri.fold_evals."""
-    half = evals.shape[0] // 2
-    a, b = evals[:half], evals[half:]
+    """One FRI fold on device, batched: evals (B, m, D), beta_mont (B, D)
+    per-instance challenges, xinv_mont (m/2, D) shared table —
+    value-identical to fri.fold_evals per instance."""
+    half = evals.shape[1] // 2
+    a, b = evals[:, :half], evals[:, half:]
     even = field.add_mod(a, b)
-    odd = field.mont_mul(field.sub_mod(a, b), xinv_mont)
+    odd = field.mont_mul(field.sub_mod(a, b), xinv_mont[None])
     s = field.add_mod(even, field.mont_mul(
-        odd, jnp.broadcast_to(beta_mont, odd.shape)
+        odd, jnp.broadcast_to(beta_mont[:, None, :], odd.shape)
     ))
-    return field.mont_mul(s, jnp.broadcast_to(inv2_mont, s.shape))
+    return field.mont_mul(
+        s, jnp.broadcast_to(inv2_mont, s.shape)
+    )
 
 
 # ---------------------------------------------------------------------------
-# The device prover
+# The device prover (batched over instances)
 # ---------------------------------------------------------------------------
 
 
@@ -258,75 +291,104 @@ def _ints_row(arr) -> list:
     return [int(v) for v in digits_to_ints(np.asarray(arr))]
 
 
-def prove_succinct_device(composer, pk: ProvingKey,
-                          rng=None) -> SuccinctProof:
-    """fri.prove_succinct with the polynomial/tree/FRI work on the
-    device. Bit-identical output for the same (composer, pk, rng)."""
+def prove_succinct_device_batch(composers, pk: ProvingKey,
+                                rngs=None) -> list:
+    """Batch-prove B instances of one circuit with the succinct argument,
+    device-resident (see module docstring). rngs: optional list of one
+    np.random.Generator per instance (zk determinism for tests). Each
+    returned proof is bit-identical to
+    fri.prove_succinct(composers[i], pk, rng=rngs[i])."""
+    if not composers:
+        return []
     key, params = pk.key, pk.params
     n, omega = key.n, key.omega
+    b = len(composers)
     bounds = _bounds(n, params)
     d_bound = bounds["D"]
     m0 = params.blowup * d_bound
     final_degree = min(params.final_degree, d_bound // 2)
     n_folds = (d_bound // final_degree).bit_length() - 1
-    rand_field = fri._rand_field_fn(rng)
+    if rngs is None:
+        rngs = [None] * b
+    rand_fields = [fri._rand_field_fn(r) for r in rngs]
 
-    # --- witness polynomials via the batched phases (B = 1) ---------------
+    ref_idx = plonk._wire_indices(composers[0])
+    for c in composers[1:]:
+        if plonk._wire_indices(c) != ref_idx:
+            raise ValueError(
+                "batched proving requires all composers to share one "
+                "circuit structure"
+            )
+
+    # --- witness polynomials via the batched phases -----------------------
     wire_int = [
-        [composer._values[idx] % P for idx in col]
-        + [0] * (n - key.n_gates)
-        for col in plonk._wire_indices(composer)
+        [
+            [c._values[idx] % P for idx in col] + [0] * (n - key.n_gates)
+            for col in plonk._wire_indices(c)
+        ]
+        for c in composers
     ]
-    wire_evals_dev = jnp.asarray(ints_to_digits(wire_int, shape=(1, 4, n)))
-    pi_col = [v % P for v in plonk._public_input_column(composer, n)]
+    wire_evals_dev = jnp.asarray(ints_to_digits(wire_int, shape=(b, 4, n)))
+    pi_cols = [
+        [v % P for v in plonk._public_input_column(c, n)]
+        for c in composers
+    ]
 
     tables_n = prover_tpu._key_tables(key)  # phase-2 tables (m = 4n)
     tables_m = prover_tpu._key_tables(key, m=d_bound, d_z=bounds["d_z"])
 
-    wires_dev = prover_tpu._phase1_wires(wire_evals_dev)  # (1, 4, n, D)
+    wires_dev = prover_tpu._phase1_wires(wire_evals_dev)  # (B, 4, n, D)
     if params.zk:
-        # identical randomness stream to the host prover: wires a..d then z
+        # per instance, the identical randomness stream to the host
+        # prover: wires a..d (zkw draws each), later z (zkz draws)
         r_w = ints_to_digits(
-            [rand_field() for _ in range(4 * bounds["zkw"])],
-            shape=(1, 4, bounds["zkw"]),
+            [rand_fields[i]() for i in range(b)
+             for _ in range(4 * bounds["zkw"])],
+            shape=(b, 4, bounds["zkw"]),
         )
         wires_dev = _blind_dev(wires_dev, jnp.asarray(r_w))
 
-    tr = Transcript()
-    tr.absorb(statement_digest(pk.digest, pi_col))
+    trs = []
+    for i in range(b):
+        tr = Transcript()
+        tr.absorb(statement_digest(pk.digest, pi_cols[i]))
+        trs.append(tr)
 
-    wires_l0 = _coset_eval_dev(wires_dev[0], m0)          # (4, m0, D)
+    wires_l0 = _coset_eval_dev(wires_dev, m0)             # (B, 4, m0, D)
     levels = {}
     roots = {}
     for j, name in enumerate("abod"):
-        levels[name] = _build_levels(wires_l0[j])
-        roots[name] = _root_int(levels[name])
-        tr.absorb(roots[name])
-    beta = tr.challenge()
-    gamma = tr.challenge()
+        levels[name] = _build_levels(wires_l0[:, j])
+        roots[name] = _root_ints(levels[name])
+        for i in range(b):
+            trs[i].absorb(roots[name][i])
+    betas = [tr.challenge() for tr in trs]
+    gammas_fs = [tr.challenge() for tr in trs]
 
-    bd = jnp.asarray(ints_to_digits([beta], shape=(1,)))
-    gd = jnp.asarray(ints_to_digits([gamma], shape=(1,)))
+    bd = jnp.asarray(ints_to_digits(betas, shape=(b,)))
+    gd = jnp.asarray(ints_to_digits(gammas_fs, shape=(b,)))
     z_dev = prover_tpu._phase2_grand_product(
         wire_evals_dev, bd, gd,
         jnp.asarray(tables_n["ids_mont"]),
         jnp.asarray(tables_n["sigma_n_mont"]),
         jnp.asarray(tables_n["one_mont"]),
-    )  # (1, n, D)
+    )  # (B, n, D)
     if params.zk:
         r_z = ints_to_digits(
-            [rand_field() for _ in range(bounds["zkz"])],
-            shape=(1, bounds["zkz"]),
+            [rand_fields[i]() for i in range(b)
+             for _ in range(bounds["zkz"])],
+            shape=(b, bounds["zkz"]),
         )
         z_dev = _blind_dev(z_dev, jnp.asarray(r_z))
-    z_l0 = _coset_eval_dev(z_dev[0][None], m0)[0]
+    z_l0 = _coset_eval_dev(z_dev, m0)                     # (B, m0, D)
     levels["z"] = _build_levels(z_l0)
-    roots["z"] = _root_int(levels["z"])
-    tr.absorb(roots["z"])
-    alpha = tr.challenge()
+    roots["z"] = _root_ints(levels["z"])
+    for i in range(b):
+        trs[i].absorb(roots["z"][i])
+    alphas = [tr.challenge() for tr in trs]
 
-    ad = jnp.asarray(ints_to_digits([alpha], shape=(1,)))
-    pi_dev = jnp.asarray(ints_to_digits(pi_col, shape=(1, n)))
+    ad = jnp.asarray(ints_to_digits(alphas, shape=(b,)))
+    pi_dev = jnp.asarray(ints_to_digits(pi_cols, shape=(b, n)))
     t_dev = prover_tpu._phase3_quotient(
         wires_dev, z_dev, pi_dev, bd, gd, ad,
         jnp.asarray(tables_m["kx_mont"]),
@@ -336,41 +398,48 @@ def prove_succinct_device(composer, pk: ProvingKey,
         jnp.asarray(tables_m["l1_mont"]),
         jnp.asarray(tables_m["omega_mont"]),
         jnp.asarray(tables_n["one_mont"]),
-    )  # (1, d_bound, D)
-    t_l0 = _coset_eval_dev(t_dev[0][None], m0)[0]
+    )  # (B, d_bound, D)
+    t_l0 = _coset_eval_dev(t_dev, m0)
     levels["t"] = _build_levels(t_l0)
-    roots["t"] = _root_int(levels["t"])
-    tr.absorb(roots["t"])
-    zeta = tr.challenge()
+    roots["t"] = _root_ints(levels["t"])
+    for i in range(b):
+        trs[i].absorb(roots["t"][i])
+    zetas = [tr.challenge() for tr in trs]
 
     # --- claimed evaluations (small fetches + host Horner) ----------------
-    wires_int = [_ints_row(np.asarray(wires_dev)[0, j]) for j in range(4)]
-    z_int = _ints_row(np.asarray(z_dev)[0])
-    t_int = _ints_row(np.asarray(t_dev)[0])
-    evals = {
-        "a": poly_eval(wires_int[0], zeta),
-        "b": poly_eval(wires_int[1], zeta),
-        "o": poly_eval(wires_int[2], zeta),
-        "d": poly_eval(wires_int[3], zeta),
-        "z": poly_eval(z_int, zeta),
-        "zw": poly_eval(z_int, zeta * omega % P),
-        "t": poly_eval(t_int, zeta),
-    }
-    for name in SELECTOR_NAMES:
-        evals[name] = poly_eval(key.selectors[name], zeta)
-    for i, name in enumerate(SIGMA_NAMES):
-        evals[name] = poly_eval(key.sigmas[i], zeta)
-    tr.absorb(*[evals[name] for name in EVAL_ORDER])
-    gdeep = tr.challenge()
+    wires_np = np.asarray(wires_dev)
+    z_np = np.asarray(z_dev)
+    t_np = np.asarray(t_dev)
+    evals_all = []
+    for i in range(b):
+        zeta = zetas[i]
+        ev = {
+            "a": poly_eval(_ints_row(wires_np[i, 0]), zeta),
+            "b": poly_eval(_ints_row(wires_np[i, 1]), zeta),
+            "o": poly_eval(_ints_row(wires_np[i, 2]), zeta),
+            "d": poly_eval(_ints_row(wires_np[i, 3]), zeta),
+            "z": poly_eval(_ints_row(z_np[i]), zeta),
+            "zw": poly_eval(_ints_row(z_np[i]), zeta * omega % P),
+            "t": poly_eval(_ints_row(t_np[i]), zeta),
+        }
+        for name in SELECTOR_NAMES:
+            ev[name] = poly_eval(key.selectors[name], zeta)
+        for j, name in enumerate(SIGMA_NAMES):
+            ev[name] = poly_eval(key.sigmas[j], zeta)
+        trs[i].absorb(*[ev[name] for name in EVAL_ORDER])
+        evals_all.append(ev)
+    gdeeps = [tr.challenge() for tr in trs]
 
     # --- DEEP composition on device ---------------------------------------
-    key_rows = jnp.asarray(_pk_key_evals(pk))              # (10, m0, D)
+    key_rows = jnp.asarray(_pk_key_evals(pk))             # (10, m0, D)
     stack = jnp.concatenate(
-        [wires_l0, z_l0[None], t_l0[None], key_rows], axis=0
-    )  # rows: a b o d z t q_m..q_c s0..s3
+        [wires_l0, z_l0[:, None], t_l0[:, None],
+         jnp.broadcast_to(key_rows[None], (b,) + key_rows.shape)],
+        axis=1,
+    )  # (B, 16, m0, D): a b o d z t q_m..q_c s0..s3
     row_of = {"a": 0, "b": 1, "o": 2, "d": 3, "z": 4, "t": 5}
-    for i, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES):
-        row_of[name] = 6 + i
+    for j, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES):
+        row_of[name] = 6 + j
     terms = fri._terms(bounds)
     s_values = sorted({d_bound + 1 - dj for (_, _, _, dj) in terms})
     pows = jnp.asarray(np.stack([_pow_mont(m0, s) for s in s_values]))
@@ -379,112 +448,160 @@ def prove_succinct_device(composer, pk: ProvingKey,
         for (pname, ename, shifted, dj) in terms
     )
     vs = jnp.asarray(ints_to_digits(
-        [evals[ename] for (_, ename, _, _) in terms],
-        shape=(len(terms),),
+        [evals_all[i][ename] for i in range(b)
+         for (_, ename, _, _) in terms],
+        shape=(b, len(terms)),
     ))
-    gpows = []
-    g_acc = 1
-    for _ in terms:
-        gpows.append(g_acc * R % P)
-        g_acc = g_acc * gdeep % P
-    gammas = jnp.asarray(ints_to_digits(gpows, shape=(len(terms),)))
+    gpow_int = []
+    for i in range(b):
+        g_acc = 1
+        for _ in terms:
+            gpow_int.append(g_acc * R % P)
+            g_acc = g_acc * gdeeps[i] % P
+    gammas = jnp.asarray(ints_to_digits(gpow_int, shape=(b, len(terms))))
     xs = jnp.asarray(_xs_digits(m0))
-    zeta_d = jnp.asarray(ints_to_digits([zeta], shape=(1,))[0])
-    wz_d = jnp.asarray(
-        ints_to_digits([zeta * omega % P], shape=(1,))[0]
-    )
+    zeta_d = jnp.asarray(ints_to_digits(zetas, shape=(b,)))
+    wz_d = jnp.asarray(ints_to_digits(
+        [z_ * omega % P for z_ in zetas], shape=(b,)
+    ))
     inv_a = _inv_mont_dev(xs, zeta_d)
     inv_b = _inv_mont_dev(xs, wz_d)
     f_dev = _deep_dev_jit(stack, vs, gammas, pows, inv_a, inv_b, spec)
 
     # --- FRI commit phase on device ---------------------------------------
     inv2_mont = jnp.asarray(_scalar_mont((P + 1) // 2))
-    layer_levels = []
-    layer_roots = []
+    layer_data = []  # (evals (B, m_k, D), levels)
+    layer_roots_all = [[] for _ in range(b)]
     cur = f_dev
     shift = G0
     size = m0
     for k_fold in range(1, n_folds + 1):
-        beta_k = tr.challenge()
-        bm = jnp.asarray(ints_to_digits([beta_k * R % P], shape=(1,))[0])
+        beta_ks = [tr.challenge() for tr in trs]
+        bm = jnp.asarray(ints_to_digits(
+            [v * R % P for v in beta_ks], shape=(b,)
+        ))
         cur = _fold_dev(cur, bm, jnp.asarray(_xinv_mont(size, shift)),
                         inv2_mont)
         shift = shift * shift % P
         size //= 2
         if k_fold < n_folds:
             lv = _build_levels(cur)
-            layer_levels.append((cur, lv))
-            layer_roots.append(_root_int(lv))
-            tr.absorb(layer_roots[-1])
-    final_evals = _ints_row(np.asarray(cur))
-    final_coeffs = fri._coset_interp(final_evals, shift)
-    if any(c % P for c in final_coeffs[final_degree:]):
-        raise ValueError(
-            "FRI final layer exceeds its degree bound — the witness does "
-            "not satisfy the circuit (the quotient is not a polynomial)"
-        )
-    final_coeffs = final_coeffs[:final_degree]
-    tr.absorb(*final_coeffs)
+            rts = _root_ints(lv)
+            layer_data.append((cur, lv))
+            for i in range(b):
+                layer_roots_all[i].append(rts[i])
+                trs[i].absorb(rts[i])
+    final_np = np.asarray(cur)
+    final_coeffs_all = []
+    for i in range(b):
+        fc = fri._coset_interp(_ints_row(final_np[i]), shift)
+        if any(c_ % P for c_ in fc[final_degree:]):
+            raise ValueError(
+                "FRI final layer exceeds its degree bound — the witness "
+                "does not satisfy the circuit (instance %d)" % i
+            )
+        fc = fc[:final_degree]
+        final_coeffs_all.append(fc)
+        trs[i].absorb(*fc)
 
     half0 = m0 // 2
-    queries = [tr.challenge() % half0 for _ in range(params.n_queries)]
+    queries_all = [
+        [tr.challenge() % half0 for _ in range(params.n_queries)]
+        for tr in trs
+    ]
 
-    # --- openings (device gathers, small fetches) -------------------------
-    idx0 = [i for q in queries for i in (q, q + half0)]
-    l0_rows = {"a": wires_l0[0], "b": wires_l0[1], "o": wires_l0[2],
-               "d": wires_l0[3], "z": z_l0, "t": t_l0}
-    for i, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES):
-        l0_rows[name] = key_rows[i]
-    open_values, open_sibs, open_poss = {}, {}, {}
+    # --- openings (batched device gathers, small fetches) -----------------
+    idx0 = np.asarray([
+        [v for q in queries_all[i] for v in (q, q + half0)]
+        for i in range(b)
+    ])  # (B, 2Q)
+    l0_rows = {"a": wires_l0[:, 0], "b": wires_l0[:, 1],
+               "o": wires_l0[:, 2], "d": wires_l0[:, 3],
+               "z": z_l0, "t": t_l0}
+    for j, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES):
+        l0_rows[name] = jnp.broadcast_to(
+            key_rows[j][None], (b,) + key_rows[j].shape
+        )
     all_names = list("abod") + ["z", "t"] + list(
         SELECTOR_NAMES + SIGMA_NAMES
     )
+    open_values = {n_: [] for n_ in all_names}
+    open_sibs = {n_: [] for n_ in all_names}
+    open_poss = {n_: [] for n_ in all_names}
     for name in all_names:
-        row = l0_rows[name]
-        vals = np.asarray(jnp.take(jnp.asarray(row),
-                                   jnp.asarray(idx0), axis=0))
+        rows = l0_rows[name]
+        vals = np.asarray(jnp.take_along_axis(
+            jnp.asarray(rows), jnp.asarray(idx0)[:, :, None], axis=1
+        ))  # (B, 2Q, D)
         ints = digits_to_ints(vals)
-        open_values[name] = [
-            [int(ints[2 * qi]), int(ints[2 * qi + 1])]
-            for qi in range(len(queries))
-        ]
-        # key-polynomial trees are part of the proving key (shared across
-        # proofs), witness trees were just built on device
-        lv = levels.get(name) or pk.key_coms[name].levels
-        open_sibs[name], open_poss[name] = _open_batched_dev(lv, idx0)
+        for i in range(b):
+            open_values[name].append([
+                [int(ints[i, 2 * qi]), int(ints[i, 2 * qi + 1])]
+                for qi in range(params.n_queries)
+            ])
+        if name in levels:
+            sibs, poss = _open_batched_dev(levels[name], idx0)
+            for i in range(b):
+                open_sibs[name].append(sibs[i])
+                open_poss[name].append(poss[i])
+        else:
+            # key-polynomial trees live in the proving key (host numpy),
+            # shared across instances; open per instance
+            for i in range(b):
+                s_, p_ = fri.tree_open_batched(
+                    pk.key_coms[name].levels, idx0[i]
+                )
+                open_sibs[name].append(s_)
+                open_poss[name].append(p_)
 
-    layer_values, layer_sibs, layer_poss = [], [], []
+    layer_values_all = [[] for _ in range(b)]
+    layer_sibs_all = [[] for _ in range(b)]
+    layer_poss_all = [[] for _ in range(b)]
     for k_fold in range(1, n_folds):
         m_k = m0 >> k_fold
         half_k = m_k // 2
-        idx = []
-        for q in queries:
-            j = (q % m_k) % half_k
-            idx.extend((j, j + half_k))
-        cur_k, lv = layer_levels[k_fold - 1]
-        vals = np.asarray(jnp.take(jnp.asarray(cur_k),
-                                   jnp.asarray(idx), axis=0))
-        ints = digits_to_ints(vals)
-        layer_values.append([
-            [int(ints[2 * qi]), int(ints[2 * qi + 1])]
-            for qi in range(len(queries))
+        idx = np.asarray([
+            [v for q in queries_all[i]
+             for v in ((q % m_k) % half_k, (q % m_k) % half_k + half_k)]
+            for i in range(b)
         ])
-        s_, p_ = _open_batched_dev(lv, idx)
-        layer_sibs.append(s_)
-        layer_poss.append(p_)
+        cur_k, lv = layer_data[k_fold - 1]
+        vals = np.asarray(jnp.take_along_axis(
+            jnp.asarray(cur_k), jnp.asarray(idx)[:, :, None], axis=1
+        ))
+        ints = digits_to_ints(vals)
+        sibs, poss = _open_batched_dev(lv, idx)
+        for i in range(b):
+            layer_values_all[i].append([
+                [int(ints[i, 2 * qi]), int(ints[i, 2 * qi + 1])]
+                for qi in range(params.n_queries)
+            ])
+            layer_sibs_all[i].append(sibs[i])
+            layer_poss_all[i].append(poss[i])
 
-    fri_proof = FriProof(
-        layer_roots=layer_roots,
-        final_coeffs=final_coeffs,
-        layer_values=layer_values,
-        layer_sibs=layer_sibs,
-        layer_poss=layer_poss,
-    )
-    return SuccinctProof(
-        roots=roots,
-        evals=evals,
-        fri=fri_proof,
-        open_values=open_values,
-        open_sibs=open_sibs,
-        open_poss=open_poss,
-    )
+    proofs = []
+    for i in range(b):
+        fri_proof = FriProof(
+            layer_roots=layer_roots_all[i],
+            final_coeffs=final_coeffs_all[i],
+            layer_values=layer_values_all[i],
+            layer_sibs=layer_sibs_all[i],
+            layer_poss=layer_poss_all[i],
+        )
+        proofs.append(SuccinctProof(
+            roots={name: roots[name][i] for name in roots},
+            evals=evals_all[i],
+            fri=fri_proof,
+            open_values={n_: open_values[n_][i] for n_ in all_names},
+            open_sibs={n_: open_sibs[n_][i] for n_ in all_names},
+            open_poss={n_: open_poss[n_][i] for n_ in all_names},
+        ))
+    return proofs
+
+
+def prove_succinct_device(composer, pk: ProvingKey,
+                          rng=None) -> SuccinctProof:
+    """Single-instance wrapper over prove_succinct_device_batch."""
+    return prove_succinct_device_batch(
+        [composer], pk, rngs=None if rng is None else [rng]
+    )[0]

@@ -47,3 +47,33 @@ def test_device_prover_bit_identical(zk):
     bad = list(pi)
     bad[-1] = bad[-1] + 1
     assert not fri.verify_succinct(vk, dev, bad)
+
+
+def test_device_prover_batched(rng):
+    # B instances through one device call sequence: each proof must be
+    # bit-identical to the host prover's for its own (instance, rng).
+    # clear_caches first: this test compiles a fresh batched-shape set on
+    # top of the single-instance tests' executables, and XLA:CPU's
+    # persistent-cache write segfaults once the live-executable count
+    # grows too large (the diagnosed round-2 hazard, CLAUDE.md)
+    import jax
+
+    jax.clear_caches()
+    cs = []
+    for k in range(3):
+        c = Composer()
+        a = c.append_witness(3 + k)
+        b = c.append_witness(5 + k)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+        c.gate_add(Constraint().left(1).a(a).right(1).b(b)
+                   .public(-(8 + 2 * k)))
+        cs.append(c)
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8, zk=True)
+    pk, vk = fri.preprocess_succinct(cs[0], params)
+    devs = fri_tpu.prove_succinct_device_batch(
+        cs, pk, rngs=[np.random.default_rng(100 + k) for k in range(3)]
+    )
+    for k, (c, dev) in enumerate(zip(cs, devs)):
+        host = fri.prove_succinct(c, pk, rng=np.random.default_rng(100 + k))
+        _assert_same(host, dev)
+        assert fri.verify_succinct(vk, dev, [g.pi for g in c.gates])
