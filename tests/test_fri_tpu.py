@@ -77,3 +77,14 @@ def test_device_prover_batched(rng):
         host = fri.prove_succinct(c, pk, rng=np.random.default_rng(100 + k))
         _assert_same(host, dev)
         assert fri.verify_succinct(vk, dev, [g.pi for g in c.gates])
+
+
+def test_batched_rejects_mixed_circuits():
+    c1 = _circuit()
+    c2 = Composer()
+    a = c2.append_witness(3)
+    c2.gate_mul(Constraint().mult(1).a(a).b(a))  # different structure
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8)
+    pk, _ = fri.preprocess_succinct(c1, params)
+    with pytest.raises(ValueError, match="circuit structure"):
+        fri_tpu.prove_succinct_device_batch([c1, c2], pk)
