@@ -414,6 +414,98 @@ def main_fri():
     return 0
 
 
+def main_verify():
+    """Batched succinct-proof verification throughput: B proofs of the
+    973-gate preimage circuit through fri.verify_succinct_batched — every
+    proof's and every polynomial's Merkle openings at the same tree
+    height pooled into one permutation batch per level (~44 batched perm
+    calls for the WHOLE batch, vs ~5,200 width-5 perms per proof
+    serially). Reports the pooled host-native path (the serving default
+    on relay-attached hosts) and, on TPU, the pooled fused-kernel path at
+    one fixed executable shape (fri.padded_perm_fn). Gate: all verdicts
+    True, a tampered proof rejected, and (on TPU) device verdicts
+    identical — refuses to print otherwise."""
+    import jax
+
+    from hades252_tpu import fri
+    from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
+    from hades252_tpu.params import P, WIDTH
+    from hades252_tpu.strategy import ScalarStrategy
+
+    bsz = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    rng = np.random.default_rng(0)
+    x = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(WIDTH)]
+    expected = ScalarStrategy().perm(list(x))
+    c = Composer()
+    ws = [c.append_witness(w) for w in x]
+    GadgetStrategy.gadget(c, ws)
+    for w, e in zip(ws, expected):
+        c.append_gate(Constraint().left(1).a(w).public(-e))
+
+    params = fri.FriParams(blowup=4, n_queries=16, final_degree=64)
+    pk, vk = fri.preprocess_succinct(c, params)
+    pi = [g.pi for g in c.gates]
+    proof = fri.prove_succinct(c, pk)
+    # identical proofs are fine for timing: per-proof verification work
+    # is independent of the batchmates (correctness of mixed batches is
+    # covered by tests/test_fri.py's batched-verdict tests)
+    proofs, pis = [proof] * bsz, [pi] * bsz
+
+    # correctness gate on the default (host) path
+    evals = dict(proof.evals)
+    evals["a"] = (evals["a"] + 1) % P
+    forged = fri.SuccinctProof(
+        roots=proof.roots, evals=evals, fri=proof.fri,
+        open_values=proof.open_values, open_sibs=proof.open_sibs,
+        open_poss=proof.open_poss,
+    )
+    verd = fri.verify_succinct_batched(vk, proofs + [forged], pis + [pi])
+    if not (bool(np.all(verd[:-1])) and not bool(verd[-1])):
+        raise RuntimeError(
+            "batched verifier verdicts are wrong — refusing to report"
+        )
+
+    t0 = time.perf_counter()
+    fri.verify_succinct_batched(vk, proofs, pis)
+    host_secs = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fri.verify_succinct(vk, proof, pi)
+    single_secs = time.perf_counter() - t0
+
+    out = {
+        "metric": f"fri_succinct_verify_973gates_B{bsz}",
+        "value": round(bsz / host_secs, 2),
+        "unit": "verifications/sec/chip",
+        "sec_per_batch": round(host_secs, 3),
+        "sec_single_verify": round(single_secs, 3),
+        "batch_size": bsz,
+        "verdict_gate": "passed",
+    }
+    if jax.default_backend() == "tpu":
+        from hades252_tpu.ops.perm_pallas import permute_pallas
+
+        rows = bsz * (len(proof.roots) + len(vk.roots)) * 2 * params.n_queries
+        dev_perm = fri.padded_perm_fn(
+            lambda s: permute_pallas(s), rows
+        )
+        verd_dev = fri.verify_succinct_batched(vk, proofs, pis, dev_perm)
+        if not bool(np.all(verd_dev)):
+            raise RuntimeError(
+                "device-pooled verifier verdicts deviate from the host "
+                "path — refusing to report"
+            )
+        t0 = time.perf_counter()
+        fri.verify_succinct_batched(vk, proofs, pis, dev_perm)
+        dev_secs = time.perf_counter() - t0
+        out["sec_per_batch_device_pooled"] = round(dev_secs, 3)
+        out["device_verifications_per_sec"] = round(bsz / dev_secs, 2)
+        if dev_secs < host_secs:
+            out["value"] = round(bsz / dev_secs, 2)
+            out["sec_per_batch"] = round(dev_secs, 3)
+    print(json.dumps(out))
+    return 0
+
+
 def main_roofline():
     """Explicit v5e roofline per schedule (utils/roofline.py): exact VPU
     lane-op + MXU MAC counts from the instrumented kernel emulation, the
@@ -438,4 +530,4 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "perm"
     sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge,
               "cipher": main_cipher, "plonk": main_plonk, "fri": main_fri,
-              "roofline": main_roofline}[mode]())
+              "verify": main_verify, "roofline": main_roofline}[mode]())

@@ -6,11 +6,17 @@ Run:  python examples/multichip_merkle.py
 real chips and the fused kernel automatically.)
 """
 
+import os
 import tempfile
 
 import jax
 
-if jax.default_backend() != "tpu":
+# Decide the platform WITHOUT initializing a backend: jax.default_backend()
+# would (a) lock out the jax_num_cpu_devices update below and (b) block
+# inside a TPU-relay plugin if the relay is down. An explicit TPU platform
+# in the environment (e.g. a plugin name) is honored; otherwise force the
+# 8-device virtual CPU mesh.
+if os.environ.get("JAX_PLATFORMS", "cpu") in ("", "cpu"):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 

@@ -3,9 +3,14 @@
 Run anywhere (CPU or TPU):  python examples/quickstart.py
 """
 
+import os
+
 import jax
 
-if jax.default_backend() != "tpu":
+# Decide the platform WITHOUT initializing a backend (jax.default_backend()
+# would block inside a TPU-relay plugin if the relay is down): honor an
+# explicit TPU platform in the environment, default to CPU otherwise.
+if os.environ.get("JAX_PLATFORMS", "cpu") in ("", "cpu"):
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
@@ -91,3 +96,13 @@ sp = fri.prove_succinct(tiny, pk)
 print("succinct zk proof verifies:",
       fri.verify_succinct(vk, sp, [g.pi for g in tiny.gates]),
       f"({fri.proof_size_field_elements(sp)} field elements)")
+
+# --- proofs and keys as bytes (dusk-plonk Serializable parity) ----------------
+from hades252_tpu import serialize
+wire_vk = serialize.vk_to_bytes(vk)
+wire_sp = serialize.proof_to_bytes(sp, vk)
+vk2 = serialize.vk_from_bytes(wire_vk)        # another process/host
+sp2 = serialize.proof_from_bytes(wire_sp, vk2)
+print("wire roundtrip verifies:",
+      fri.verify_succinct(vk2, sp2, [g.pi for g in tiny.gates]),
+      f"({len(wire_sp)} proof bytes, {len(wire_vk)} key bytes)")

@@ -123,6 +123,34 @@ def default_pcs_perm():
     return lambda s: np.asarray(permute_pallas(s, emulate=True))
 
 
+def padded_perm_fn(perm_fn, rows: int):
+    """Wrap a batched perm_fn so every invocation runs at a fixed row
+    count (zero-state padding; larger batches are chunked). For device
+    backends behind a relay — where every distinct batch shape compiles a
+    new executable — this pins the whole pooled-verification call pattern
+    (many heights, many bucket sizes) to ONE executable."""
+    if rows < 1:
+        raise ValueError("rows must be >= 1")
+
+    def wrapped(states):
+        states = np.asarray(states, np.uint32)
+        k = states.shape[0]
+        if k == rows:
+            return np.asarray(perm_fn(states))
+        if k > rows:
+            return np.concatenate(
+                [wrapped(states[i : i + rows])
+                 for i in range(0, k, rows)]
+            )
+        padded = np.concatenate(
+            [states,
+             np.zeros((rows - k,) + states.shape[1:], np.uint32)]
+        )
+        return np.asarray(perm_fn(padded))[:k]
+
+    return wrapped
+
+
 @cache
 def _tag_digits() -> np.ndarray:
     return ints_to_digits([TAG_PCS], shape=(1,))[0]
@@ -216,10 +244,14 @@ def poss_to_indices(poss) -> np.ndarray:
     return (poss * weights[None, :]).sum(axis=1)
 
 
-def tree_verify_batched(root: int, values, sibs, poss, height: int,
+def tree_verify_batched(root, values, sibs, poss, height: int,
                         expected_indices, perm_fn) -> np.ndarray:
     """Verify K compact openings with one batched permutation per level.
 
+    root: one int (all openings against the same tree) or a length-K
+    sequence of per-row roots — the pooled form lets a caller verify
+    openings from MANY trees (different polynomials, different proofs)
+    in the same per-level permutation batch.
     values: list of K claimed leaf ints; expected_indices: the K leaf
     indices the VERIFIER demands (transcript-derived) — the position path
     must both hash to the root AND encode exactly that index, and every
@@ -243,8 +275,13 @@ def tree_verify_batched(root: int, values, sibs, poss, height: int,
         node = np.asarray(perm_fn(states))[:, DIGEST_INDEX, :].astype(
             np.uint32
         )
-    root_digits = ints_to_digits([root], shape=(1,))[0]
-    digest_ok = np.all(node == root_digits[None], axis=-1)
+    if isinstance(root, (int, np.integer)):
+        root_digits = ints_to_digits([int(root)], shape=(1,))[0][None]
+    else:
+        if len(root) != k:
+            return np.zeros(k, bool)
+        root_digits = ints_to_digits([int(r) for r in root], shape=(k,))
+    digest_ok = np.all(node == root_digits, axis=-1)
     return pos_ok & idx_ok & digest_ok
 
 
@@ -721,27 +758,35 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
     """Check the succinct argument (reference analogue: verifier.verify,
     gadget.rs:220). The verifier touches NO full polynomial: its work is
     the transcript, the zeta identity over claimed evaluations, and
-    n_queries Merkle/fold spot checks."""
-    if perm_fn is None:
-        perm_fn = default_pcs_perm()
+    n_queries Merkle/fold spot checks. One-proof form of
+    verify_succinct_batched (identical acceptance set)."""
+    return bool(
+        verify_succinct_batched(vk, [proof], [public_inputs], perm_fn)[0]
+    )
+
+
+def _verify_prepare(vk: VerifyingKey, proof: SuccinctProof, public_inputs,
+                    shapes: dict):
+    """Per-proof host algebra: structural checks, transcript replay, and
+    the PLONK zeta identity. Returns the context the Merkle/fold phases
+    need, or None if the proof is already rejected."""
     n, omega, params = vk.n, vk.omega, vk.params
-    bounds = _bounds(n, params)
-    d_bound = bounds["D"]
-    m0 = params.blowup * d_bound
-    final_degree = min(params.final_degree, d_bound // 2)
-    n_folds = (d_bound // final_degree).bit_length() - 1
-    half0 = m0 // 2
+    n_folds, half0, h0, final_degree = (
+        shapes["n_folds"], shapes["half0"], shapes["h0"],
+        shapes["final_degree"],
+    )
+    q_n = params.n_queries
 
     if sorted(proof.evals) != sorted(EVAL_ORDER):
-        return False
+        return None
     if len(proof.fri.final_coeffs) > final_degree:
-        return False
+        return None
     if any(
         len(part) != n_folds - 1
         for part in (proof.fri.layer_roots, proof.fri.layer_values,
                      proof.fri.layer_sibs, proof.fri.layer_poss)
     ):
-        return False
+        return None
 
     # 1. replay the transcript (the statement: PI column truncated to the
     # gate count and padded to the domain, exactly as the prover absorbed)
@@ -752,12 +797,12 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
     tr.absorb(statement_digest(vk.digest, pi + [0] * (n - len(pi))))
     for name in "abod":
         if name not in proof.roots:
-            return False
+            return None
         tr.absorb(proof.roots[name])
     beta = tr.challenge()
     gamma = tr.challenge()
     if "z" not in proof.roots or "t" not in proof.roots:
-        return False
+        return None
     tr.absorb(proof.roots["z"])
     alpha = tr.challenge()
     tr.absorb(proof.roots["t"])
@@ -770,13 +815,13 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
         if k < n_folds:
             tr.absorb(proof.fri.layer_roots[k - 1])
     tr.absorb(*proof.fri.final_coeffs)
-    queries = [tr.challenge() % half0 for _ in range(params.n_queries)]
+    queries = [tr.challenge() % half0 for _ in range(q_n)]
 
     # 2. the PLONK identity at zeta over the claimed evaluations
     ev = {name: proof.evals[name] % P for name in EVAL_ORDER}
     zh_z = (pow(zeta, n, P) - 1) % P
     if zh_z == 0:
-        return False
+        return None
     pi_z = _pi_eval(pi, vk.n_gates, n, omega, zeta, zh_z)
     l1_z = zh_z * pow(n * (zeta - 1) % P, P - 2, P) % P
     gate = (
@@ -796,81 +841,175 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
     boundary = l1_z * (ev["z"] - 1) % P
     combined = (gate + alpha * perm + alpha * alpha % P * boundary) % P
     if combined != ev["t"] * zh_z % P:
-        return False
+        return None
 
-    # 3. Merkle-verify every layer-0 opening at the derived indices
-    idx0 = [i for q in queries for i in (q, q + half0)]
-    h0 = _tree_height(m0)
+    # structural validation of every opening block, so the pooled Merkle
+    # phase can concatenate blocks from many proofs without shape traps
     all_roots = dict(proof.roots)
     all_roots.update(vk.roots)
     flat_values = {}
-    for name, root in all_roots.items():
+    for name in all_roots:
         if (name not in proof.open_values or name not in proof.open_sibs
                 or name not in proof.open_poss):
-            return False
+            return None
         vals = proof.open_values[name]
-        if len(vals) != len(queries) or any(len(v) != 2 for v in vals):
-            return False
-        flat = [int(v) % P for pair in vals for v in pair]
-        ok = tree_verify_batched(
-            root, flat, proof.open_sibs.get(name),
-            proof.open_poss.get(name), h0, idx0, perm_fn,
-        )
-        if not bool(np.all(ok)):
-            return False
-        flat_values[name] = flat
-
-    # committed FRI layers: verify openings at their derived indices
+        if len(vals) != q_n or any(len(v) != 2 for v in vals):
+            return None
+        if np.asarray(proof.open_sibs[name]).shape != (
+            2 * q_n, h0, ARITY - 1, N_DIGITS,
+        ) or np.asarray(proof.open_poss[name]).shape != (2 * q_n, h0):
+            return None
+        flat_values[name] = [int(v) % P for pair in vals for v in pair]
     layer_flat = []
+    for k in range(1, n_folds):
+        h_k = shapes["layer_heights"][k - 1]
+        vals = proof.fri.layer_values[k - 1]
+        if len(vals) != q_n or any(len(v) != 2 for v in vals):
+            return None
+        if np.asarray(proof.fri.layer_sibs[k - 1]).shape != (
+            2 * q_n, h_k, ARITY - 1, N_DIGITS,
+        ) or np.asarray(proof.fri.layer_poss[k - 1]).shape != (
+            2 * q_n, h_k,
+        ):
+            return None
+        layer_flat.append([int(v) % P for pair in vals for v in pair])
+
+    idx0 = [i for q in queries for i in (q, q + half0)]
+    return {
+        "queries": queries, "betas": betas, "gdeep": gdeep, "zeta": zeta,
+        "ev": ev, "idx0": idx0, "all_roots": all_roots,
+        "flat_values": flat_values, "layer_flat": layer_flat,
+    }
+
+
+def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
+                            perm_fn=None) -> np.ndarray:
+    """Verify MANY succinct proofs against one verifying key with pooled
+    Merkle hashing: all proofs' and all polynomials' openings at the same
+    tree height ride the same per-level permutation batch (h0 + n_folds-2
+    pooled calls total, independent of the batch size). Per-proof
+    transcript replay and the zeta/fold algebra stay host-side. Returns a
+    (B,) bool array; entry b is exactly verify_succinct(vk, proofs[b],
+    public_inputs_list[b])."""
+    if len(proofs) != len(public_inputs_list):
+        raise ValueError("one public-input list per proof required")
+    if perm_fn is None:
+        perm_fn = default_pcs_perm()
+    n_proofs = len(proofs)
+    verdict = np.zeros(n_proofs, bool)
+    if not n_proofs:
+        return verdict
+
+    n, omega, params = vk.n, vk.omega, vk.params
+    bounds = _bounds(n, params)
+    d_bound = bounds["D"]
+    m0 = params.blowup * d_bound
+    final_degree = min(params.final_degree, d_bound // 2)
+    n_folds = (d_bound // final_degree).bit_length() - 1
+    shapes = {
+        "n_folds": n_folds,
+        "half0": m0 // 2,
+        "h0": _tree_height(m0),
+        "final_degree": final_degree,
+        "layer_heights": [_tree_height(m0 >> k) for k in range(1, n_folds)],
+    }
+
+    ctx = [
+        _verify_prepare(vk, proof, pis, shapes)
+        for proof, pis in zip(proofs, public_inputs_list)
+    ]
+    alive = [b for b in range(n_proofs) if ctx[b] is not None]
+    if not alive:
+        return verdict
+
+    # 3. pooled Merkle verification — one batched call per tree height,
+    # covering every (proof, polynomial) pair at that height
+    pool_vals, pool_sibs, pool_poss, pool_idx, pool_roots, pool_owner = (
+        [], [], [], [], [], []
+    )
+    for b in alive:
+        c = ctx[b]
+        for name, root in c["all_roots"].items():
+            pool_vals.extend(c["flat_values"][name])
+            pool_sibs.append(np.asarray(proofs[b].open_sibs[name]))
+            pool_poss.append(np.asarray(proofs[b].open_poss[name]))
+            pool_idx.extend(c["idx0"])
+            pool_roots.extend([root] * len(c["idx0"]))
+            pool_owner.extend([b] * len(c["idx0"]))
+    ok0 = tree_verify_batched(
+        pool_roots, pool_vals, np.concatenate(pool_sibs),
+        np.concatenate(pool_poss), shapes["h0"], pool_idx, perm_fn,
+    )
+    failed = {b for b, good in zip(pool_owner, ok0) if not good}
+
     for k in range(1, n_folds):
         m_k = m0 >> k
         half_k = m_k // 2
-        idx = []
-        for q in queries:
-            j = (q % m_k) % half_k
-            idx.extend((j, j + half_k))
-        vals = proof.fri.layer_values[k - 1]
-        if len(vals) != len(queries) or any(len(v) != 2 for v in vals):
-            return False
-        flat = [int(v) % P for pair in vals for v in pair]
-        h_k = _tree_height(m_k)
-        ok = tree_verify_batched(
-            proof.fri.layer_roots[k - 1], flat,
-            proof.fri.layer_sibs[k - 1], proof.fri.layer_poss[k - 1],
-            h_k, idx, perm_fn,
+        h_k = shapes["layer_heights"][k - 1]
+        vals, sibs, poss, idxs, roots, owner = [], [], [], [], [], []
+        for b in alive:
+            if b in failed:
+                continue
+            c = ctx[b]
+            idx = []
+            for q in c["queries"]:
+                j = (q % m_k) % half_k
+                idx.extend((j, j + half_k))
+            vals.extend(c["layer_flat"][k - 1])
+            sibs.append(np.asarray(proofs[b].fri.layer_sibs[k - 1]))
+            poss.append(np.asarray(proofs[b].fri.layer_poss[k - 1]))
+            idxs.extend(idx)
+            roots.extend([proofs[b].fri.layer_roots[k - 1]] * len(idx))
+            owner.extend([b] * len(idx))
+        if not vals:
+            break
+        ok_k = tree_verify_batched(
+            roots, vals, np.concatenate(sibs), np.concatenate(poss),
+            h_k, idxs, perm_fn,
         )
-        if not bool(np.all(ok)):
-            return False
-        layer_flat.append(flat)
+        failed |= {b for b, good in zip(owner, ok_k) if not good}
 
     # 4. fold each query through the layers to the final polynomial
     w0 = _domain_root(m0)
-    for qi, q in enumerate(queries):
-        x = G0 * pow(w0, q, P) % P
-        opened_lo = {name: flat_values[name][2 * qi] for name in all_roots}
-        opened_hi = {name: flat_values[name][2 * qi + 1]
-                     for name in all_roots}
-        f_lo = _deep_eval(x, bounds, opened_lo, ev, zeta, omega, gdeep)
-        f_hi = _deep_eval((P - x) % P, bounds, opened_hi, ev, zeta, omega,
-                          gdeep)
-        v = _fold_pair(f_lo, f_hi, betas[0], x)
-        i_k = q  # index into layer 1 (size m0/2)
-        shift = G0 * G0 % P
-        for k in range(1, n_folds):
-            m_k = m0 >> k
-            half_k = m_k // 2
-            j = (i_k % m_k) % half_k
-            lo = layer_flat[k - 1][2 * qi]
-            hi = layer_flat[k - 1][2 * qi + 1]
-            here = lo if (i_k % m_k) < half_k else hi
-            if here != v:
-                return False
-            xk = shift * pow(_domain_root(m_k), j, P) % P
-            v = _fold_pair(lo, hi, betas[k], xk)
-            i_k = j
-            shift = shift * shift % P
-        m_l = m0 >> n_folds
-        x_final = shift * pow(_domain_root(m_l), i_k % m_l, P) % P
-        if v != poly_eval(list(proof.fri.final_coeffs), x_final):
-            return False
-    return True
+    for b in alive:
+        if b in failed:
+            continue
+        c = ctx[b]
+        ev, zeta, gdeep, betas = c["ev"], c["zeta"], c["gdeep"], c["betas"]
+        flat_values, layer_flat = c["flat_values"], c["layer_flat"]
+        good = True
+        for qi, q in enumerate(c["queries"]):
+            x = G0 * pow(w0, q, P) % P
+            opened_lo = {name: flat_values[name][2 * qi]
+                         for name in c["all_roots"]}
+            opened_hi = {name: flat_values[name][2 * qi + 1]
+                         for name in c["all_roots"]}
+            f_lo = _deep_eval(x, bounds, opened_lo, ev, zeta, omega, gdeep)
+            f_hi = _deep_eval((P - x) % P, bounds, opened_hi, ev, zeta,
+                              omega, gdeep)
+            v = _fold_pair(f_lo, f_hi, betas[0], x)
+            i_k = q  # index into layer 1 (size m0/2)
+            shift = G0 * G0 % P
+            for k in range(1, n_folds):
+                m_k = m0 >> k
+                half_k = m_k // 2
+                j = (i_k % m_k) % half_k
+                lo = layer_flat[k - 1][2 * qi]
+                hi = layer_flat[k - 1][2 * qi + 1]
+                here = lo if (i_k % m_k) < half_k else hi
+                if here != v:
+                    good = False
+                    break
+                xk = shift * pow(_domain_root(m_k), j, P) % P
+                v = _fold_pair(lo, hi, betas[k], xk)
+                i_k = j
+                shift = shift * shift % P
+            if not good:
+                break
+            m_l = m0 >> n_folds
+            x_final = shift * pow(_domain_root(m_l), i_k % m_l, P) % P
+            if v != poly_eval(list(proofs[b].fri.final_coeffs), x_final):
+                good = False
+                break
+        verdict[b] = good
+    return verdict

@@ -19,7 +19,19 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run(script: str) -> subprocess.CompletedProcess:
     env = dict(os.environ)
     env["JAX_COMPILATION_CACHE_DIR"] = _cpu_cache_dir()
-    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Strip the axon TPU-relay plugin from the subprocess path: the suite
+    # validates the CPU path (bench.py / __graft_entry__ cover TPU), and
+    # a relay outage would otherwise hang the example at backend init
+    # (jax.default_backend() blocks inside the plugin) until the
+    # subprocess timeout fails the suite.
+    inherited = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([_REPO] + inherited)
+    # ... and the global JAX_PLATFORMS=axon no longer resolves without
+    # the plugin on the path
+    env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, os.path.join(_REPO, "examples", script)],
         capture_output=True,

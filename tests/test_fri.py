@@ -251,6 +251,79 @@ def test_zk_openings_differ_from_unblinded(zk_setup):
     assert not (set(opened) & set(unblinded))
 
 
+# -- batched verification ------------------------------------------------------
+
+
+def test_verify_succinct_batched_matches_single(zk_setup):
+    # pooled Merkle phases must reproduce the one-proof verifier's
+    # acceptance set exactly, with per-proof verdicts: valid proofs pass,
+    # a tampered-eval proof and a wrong-statement binding fail — each
+    # independently of its batchmates
+    c, pk, vk = zk_setup
+    p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(20))
+    p2 = fri.prove_succinct(c, pk, rng=np.random.default_rng(21))
+    pi = [g.pi for g in c.gates]
+    evals = dict(p2.evals)
+    evals["a"] = (evals["a"] + 1) % P
+    p3 = fri.SuccinctProof(
+        roots=p2.roots, evals=evals, fri=p2.fri,
+        open_values=p2.open_values, open_sibs=p2.open_sibs,
+        open_poss=p2.open_poss,
+    )
+    bad_pi = list(pi)
+    bad_pi[-1] = (bad_pi[-1] + 1) % P
+    batch = [p1, p2, p3, p1]
+    pis = [pi, pi, pi, bad_pi]
+    verdicts = fri.verify_succinct_batched(vk, batch, pis)
+    expect = [True, True, False, False]
+    assert [bool(v) for v in verdicts] == expect
+    assert [fri.verify_succinct(vk, pr, x)
+            for pr, x in zip(batch, pis)] == expect
+
+
+def test_verify_batched_isolates_merkle_failure(zk_setup):
+    # a tampered OPENING (caught in the pooled Merkle phase, not the
+    # per-proof algebra) must fail only its own proof
+    c, pk, vk = zk_setup
+    p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(30))
+    p2 = fri.prove_succinct(c, pk, rng=np.random.default_rng(31))
+    pi = [g.pi for g in c.gates]
+    vals = {k: [list(pair) for pair in v] for k, v in p2.open_values.items()}
+    vals["z"][0][0] = (vals["z"][0][0] + 1) % P
+    forged = fri.SuccinctProof(
+        roots=p2.roots, evals=p2.evals, fri=p2.fri,
+        open_values=vals, open_sibs=p2.open_sibs, open_poss=p2.open_poss,
+    )
+    verdicts = fri.verify_succinct_batched(vk, [forged, p1], [pi, pi])
+    assert [bool(v) for v in verdicts] == [False, True]
+
+
+def test_verify_batched_structural_mangle_does_not_poison(zk_setup):
+    # a structurally-mangled proof (wrong sibling-block shape) is rejected
+    # in the prepare phase and must not break the pooled concatenation for
+    # the rest of the batch
+    c, pk, vk = zk_setup
+    p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(40))
+    pi = [g.pi for g in c.gates]
+    sibs = dict(p1.open_sibs)
+    sibs["a"] = np.asarray(p1.open_sibs["a"])[:, :-1]
+    mangled = fri.SuccinctProof(
+        roots=p1.roots, evals=p1.evals, fri=p1.fri,
+        open_values=p1.open_values, open_sibs=sibs,
+        open_poss=p1.open_poss,
+    )
+    verdicts = fri.verify_succinct_batched(vk, [mangled, p1], [pi, pi])
+    assert [bool(v) for v in verdicts] == [False, True]
+
+
+def test_verify_batched_length_mismatch(zk_setup):
+    c, pk, vk = zk_setup
+    p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(50))
+    with pytest.raises(ValueError, match="one public-input list"):
+        fri.verify_succinct_batched(vk, [p1], [])
+    assert fri.verify_succinct_batched(vk, [], []).shape == (0,)
+
+
 # -- the reference's integration cycle at full scale --------------------------
 
 
