@@ -316,6 +316,30 @@ class FriParams:
         if self.n_queries < 1:
             raise ValueError("n_queries must be >= 1")
 
+    def security_bits(self, n: int = 1024) -> float:
+        """Conservative soundness estimate in bits for a domain of size n
+        (the circuit's padded gate count; enters only through the
+        negligible field terms).
+
+        Query soundness: a committed layer-0 vector that is delta-far
+        from every degree-<D polynomial survives one transcript-derived
+        spot check with probability <= 1 - delta; against the
+        pre-list-decoding unique-decoding radius (delta up to 1 - rate,
+        rate = 1/blowup) the cheating probability is <= rate^n_queries,
+        i.e. n_queries * log2(blowup) bits. The DEEP/PLONK
+        Schwartz-Zippel terms (challenge collisions with roots of the
+        <= 5n-degree identity polynomials over the 255-bit field) and the
+        Hades-Merkle binding term are ~log2(|F|/5n) ~ 240+ bits and never
+        bind. The defaults (blowup 8, 40 queries) give 120 bits,
+        matching the reference's claimed 117-120-bit level
+        (reference README.md:37); test/bench presets trade soundness for
+        speed and report accordingly."""
+        import math
+
+        query_bits = self.n_queries * math.log2(self.blowup)
+        field_bits = math.log2(P / (5 * max(n, 2)))
+        return min(query_bits, field_bits)
+
 
 def _bounds(n: int, params: FriParams) -> dict:
     """Per-polynomial coefficient-count bounds d_j and the FRI degree

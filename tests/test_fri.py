@@ -251,6 +251,22 @@ def test_zk_openings_differ_from_unblinded(zk_setup):
     assert not (set(opened) & set(unblinded))
 
 
+# -- soundness accounting ------------------------------------------------------
+
+
+def test_security_bits():
+    # production defaults hit the reference's claimed 117-120-bit level
+    # (reference README.md:37)
+    assert fri.FriParams().security_bits() == 120.0
+    # CI presets report honestly reduced soundness
+    assert fri.FriParams(blowup=4, n_queries=16).security_bits() == 32.0
+    # absurd query counts are capped by the field/Schwartz-Zippel term,
+    # which shrinks as the domain grows
+    capped = fri.FriParams(blowup=8, n_queries=10_000)
+    assert 230 < capped.security_bits(n=1024) < 245
+    assert capped.security_bits(n=1 << 20) < capped.security_bits(n=1024)
+
+
 # -- batched verification ------------------------------------------------------
 
 
