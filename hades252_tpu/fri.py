@@ -244,20 +244,12 @@ def poss_to_indices(poss) -> np.ndarray:
     return (poss * weights[None, :]).sum(axis=1)
 
 
-def tree_verify_batched(root, values, sibs, poss, height: int,
-                        expected_indices, perm_fn) -> np.ndarray:
-    """Verify K compact openings with one batched permutation per level.
-
-    root: one int (all openings against the same tree) or a length-K
-    sequence of per-row roots — the pooled form lets a caller verify
-    openings from MANY trees (different polynomials, different proofs)
-    in the same per-level permutation batch.
-    values: list of K claimed leaf ints; expected_indices: the K leaf
-    indices the VERIFIER demands (transcript-derived) — the position path
-    must both hash to the root AND encode exactly that index, and every
-    attacker-supplied position is range-checked (see models/merkle.py's
-    range-check note). Returns (K,) bool."""
-    k = len(values)
+def _tree_verify_nodes(root, node: np.ndarray, sibs, poss, height: int,
+                       expected_indices, perm_fn) -> np.ndarray:
+    """Core of tree_verify_batched on pre-digested nodes: node is
+    (K, N_DIGITS) canonical digits of the starting level's entries (leaf
+    values, or block-subtree roots for block openings)."""
+    k = node.shape[0]
     sibs = np.asarray(sibs)
     poss = np.asarray(poss)
     if sibs.shape != (k, height, ARITY - 1, N_DIGITS) or poss.shape != (
@@ -267,7 +259,6 @@ def tree_verify_batched(root, values, sibs, poss, height: int,
         return np.zeros(k, bool)
     pos_ok = np.all((poss >= 0) & (poss < ARITY), axis=1)
     idx_ok = poss_to_indices(poss) == np.asarray(expected_indices, np.int64)
-    node = ints_to_digits(list(values), shape=(k,))
     tag = np.broadcast_to(_tag_digits(), (k, 1, N_DIGITS))
     for lvl in range(height):
         children = _insert_at(node, sibs[:, lvl], poss[:, lvl])
@@ -283,6 +274,98 @@ def tree_verify_batched(root, values, sibs, poss, height: int,
         root_digits = ints_to_digits([int(r) for r in root], shape=(k,))
     digest_ok = np.all(node == root_digits, axis=-1)
     return pos_ok & idx_ok & digest_ok
+
+
+def tree_verify_batched(root, values, sibs, poss, height: int,
+                        expected_indices, perm_fn) -> np.ndarray:
+    """Verify K compact openings with one batched permutation per level.
+
+    root: one int (all openings against the same tree) or a length-K
+    sequence of per-row roots — the pooled form lets a caller verify
+    openings from MANY trees (different polynomials, different proofs)
+    in the same per-level permutation batch.
+    values: list of K claimed leaf ints; expected_indices: the K leaf
+    indices the VERIFIER demands (transcript-derived) — the position path
+    must both hash to the root AND encode exactly that index, and every
+    attacker-supplied position is range-checked (see models/merkle.py's
+    range-check note). Returns (K,) bool."""
+    node = ints_to_digits(list(values), shape=(len(values),))
+    return _tree_verify_nodes(root, node, sibs, poss, height,
+                              expected_indices, perm_fn)
+
+
+# Block-leaf trees: each tree position holds a BLOCK of values (e.g. the
+# B aggregated instances' evaluations at one coset point), laid out as an
+# aligned bottom subtree — leaf index = position * 4^block_levels + j —
+# so ONE path above the block serves every value in it. Same node rule,
+# same tag; the block subtree has no siblings (it is fully determined by
+# the claimed values, zero-padded like ordinary tree padding).
+
+
+def block_levels_for(block_size: int) -> int:
+    """Height of the bottom subtree holding one block (4^h >= size)."""
+    if block_size < 1:
+        raise ValueError("block_size must be >= 1")
+    return _tree_height(block_size)
+
+
+def tree_build_blocks(blocks, perm_fn) -> list[np.ndarray]:
+    """Commit m blocks of values: blocks is an (m, block_size) array-like
+    of canonical ints. Returns all tree levels; levels[block_levels][i]
+    is block i's subtree root."""
+    blocks = [list(b) for b in blocks]
+    size = len(blocks[0])
+    if any(len(b) != size for b in blocks):
+        raise ValueError("all blocks must have the same size")
+    pad = ARITY ** block_levels_for(size)
+    flat = [v for b in blocks for v in (b + [0] * (pad - size))]
+    return tree_build(flat, perm_fn)
+
+
+def tree_open_blocks(levels, block_size: int, positions):
+    """Compact openings for whole blocks: the path starts at the block
+    subtree root, so values inside a block share it. Returns
+    (K, h_upper, ARITY-1, N_DIGITS) sibs + (K, h_upper) positions."""
+    return tree_open_batched(levels[block_levels_for(block_size):],
+                             positions)
+
+
+def _block_subtree_roots(value_blocks: np.ndarray, perm_fn) -> np.ndarray:
+    """Collapse (K, 4^h) canonical-digit blocks to their subtree roots
+    (K, N_DIGITS) with one batched permutation per sub-level."""
+    node = value_blocks
+    while node.shape[1] > 1:
+        k, w = node.shape[0], node.shape[1]
+        children = node.reshape(k * (w // ARITY), ARITY, N_DIGITS)
+        tag = np.broadcast_to(
+            _tag_digits(), (children.shape[0], 1, N_DIGITS)
+        )
+        states = np.concatenate([tag, children], axis=1).astype(np.uint32)
+        out = np.asarray(perm_fn(states))[:, DIGEST_INDEX, :]
+        node = out.astype(np.uint32).reshape(k, w // ARITY, N_DIGITS)
+    return node[:, 0]
+
+
+def tree_verify_blocks(root, value_blocks, sibs, poss, upper_height: int,
+                       expected_positions, perm_fn) -> np.ndarray:
+    """Verify K block openings: value_blocks is (K, block_size) claimed
+    ints; the path (sibs/poss, from tree_open_blocks) must hash to the
+    root AND encode exactly expected_positions. Same pooled-root
+    semantics as tree_verify_batched. Returns (K,) bool."""
+    value_blocks = [list(b) for b in value_blocks]
+    k = len(value_blocks)
+    if k == 0:
+        return np.zeros(0, bool)
+    size = len(value_blocks[0])
+    if any(len(b) != size for b in value_blocks):
+        return np.zeros(k, bool)
+    pad = ARITY ** block_levels_for(size)
+    flat = [int(v) % P for b in value_blocks for v in (list(b) + [0] * (pad - size))]
+    digits = ints_to_digits(flat, shape=(k * pad,)).reshape(k, pad, N_DIGITS)
+    node = (digits[:, 0] if pad == 1
+            else _block_subtree_roots(digits, perm_fn))
+    return _tree_verify_nodes(root, node, sibs, poss, upper_height,
+                              expected_positions, perm_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -494,10 +577,12 @@ def _terms(bounds: dict):
     return out
 
 
-def _deep_compose(m0: int, bounds: dict, poly_evals: dict, evals: dict,
-                  zeta: int, omega: int, gdeep: int) -> list[int]:
-    """Prover: F on L0 from each committed polynomial's L0 evaluations."""
-    d_bound = bounds["D"]
+def _deep_compose_terms(m0: int, d_bound: int, term_list, zeta: int,
+                        omega: int, gdeep: int) -> list[int]:
+    """Prover: F on L0 from generic terms (e_vector, v, shifted, dj) —
+    e_vector the committed polynomial's L0 evaluations, v the claimed
+    evaluation at zeta (or omega*zeta when shifted), dj its coefficient-
+    count bound. Term order fixes the gdeep power per claim."""
     w = _domain_root(m0)
     xs = []
     x = G0
@@ -508,10 +593,8 @@ def _deep_compose(m0: int, bounds: dict, poly_evals: dict, evals: dict,
     inv_wz = batch_inverse([(x - zeta * omega) % P for x in xs])
     f = [0] * m0
     gpow = 1
-    for pname, ename, shifted, dj in _terms(bounds):
+    for e, v, shifted, dj in term_list:
         s = d_bound + 1 - dj
-        v = evals[ename]
-        e = poly_evals[pname]
         inv = inv_wz if shifted else inv_z
         xp = pow(G0, s, P)
         wstep = pow(w, s, P)
@@ -523,20 +606,41 @@ def _deep_compose(m0: int, bounds: dict, poly_evals: dict, evals: dict,
     return f
 
 
-def _deep_eval(x: int, bounds: dict, opened: dict, evals: dict, zeta: int,
-               omega: int, gdeep: int) -> int:
-    """Verifier: F at one query point from the opened leaf values."""
-    d_bound = bounds["D"]
+def _deep_compose(m0: int, bounds: dict, poly_evals: dict, evals: dict,
+                  zeta: int, omega: int, gdeep: int) -> list[int]:
+    """Prover: F on L0 from each committed polynomial's L0 evaluations."""
+    term_list = [
+        (poly_evals[pname], evals[ename], shifted, dj)
+        for pname, ename, shifted, dj in _terms(bounds)
+    ]
+    return _deep_compose_terms(m0, bounds["D"], term_list, zeta, omega,
+                               gdeep)
+
+
+def _deep_eval_terms(x: int, d_bound: int, term_list, zeta: int,
+                     omega: int, gdeep: int) -> int:
+    """Verifier: F at one query point from generic terms
+    (opened_value, v, shifted, dj); same order as _deep_compose_terms."""
     acc = 0
     gpow = 1
-    for pname, ename, shifted, dj in _terms(bounds):
+    for opened, v, shifted, dj in term_list:
         s = d_bound + 1 - dj
         pt = zeta * omega % P if shifted else zeta
-        diff = (opened[pname] - evals[ename]) % P
+        diff = (opened - v) % P
         term = pow(x, s, P) * diff % P * pow((x - pt) % P, P - 2, P) % P
         acc = (acc + gpow * term) % P
         gpow = gpow * gdeep % P
     return acc
+
+
+def _deep_eval(x: int, bounds: dict, opened: dict, evals: dict, zeta: int,
+               omega: int, gdeep: int) -> int:
+    """Verifier: F at one query point from the opened leaf values."""
+    term_list = [
+        (opened[pname], evals[ename], shifted, dj)
+        for pname, ename, shifted, dj in _terms(bounds)
+    ]
+    return _deep_eval_terms(x, bounds["D"], term_list, zeta, omega, gdeep)
 
 
 # ---------------------------------------------------------------------------
@@ -604,6 +708,63 @@ def _blind(poly, n: int, n_coeffs: int, rand_field) -> list[int]:
         out[k + n] = (out[k + n] + r) % P
         out[k] = (out[k] - r) % P
     return out
+
+
+def _fri_commit(tr: Transcript, f: list[int], m0: int, n_folds: int,
+                final_degree: int, perm_fn):
+    """FRI commit phase: fold the composition n_folds times, committing
+    intermediate layers 1..L-1 into the transcript. Returns
+    (layer_coms, final_coeffs)."""
+    layer_coms: list[_Com] = []
+    cur, shift = f, G0
+    for k in range(1, n_folds + 1):
+        beta_k = tr.challenge()
+        cur = fold_evals(cur, shift, beta_k)
+        shift = shift * shift % P
+        if k < n_folds:
+            com = _Com(evals=cur, levels=tree_build(cur, perm_fn))
+            layer_coms.append(com)
+            tr.absorb(com.root)
+    final_coeffs = _coset_interp(cur, shift)
+    if any(c % P for c in final_coeffs[final_degree:]):
+        # the DEEP composition is only a degree-<D polynomial when every
+        # claimed evaluation is true and every committed polynomial meets
+        # its degree bound — for an unsatisfiable witness the quotient
+        # "polynomial" fails its bound and the folds can't reach the
+        # final degree: an honest prover cannot emit a proof at all
+        raise ValueError(
+            "FRI final layer exceeds its degree bound — the witness does "
+            "not satisfy the circuit (the quotient is not a polynomial)"
+        )
+    final_coeffs = final_coeffs[:final_degree]
+    tr.absorb(*final_coeffs)
+    return layer_coms, final_coeffs
+
+
+def _fri_proof(layer_coms, final_coeffs, queries, m0: int) -> FriProof:
+    """Committed-layer openings along each query's fold path."""
+    layer_values, layer_sibs, layer_poss = [], [], []
+    for k, com in enumerate(layer_coms, start=1):
+        m_k = m0 >> k
+        half_k = m_k // 2
+        idx = []
+        vals = []
+        for q in queries:
+            i_k = q % m_k
+            j = i_k % half_k
+            idx.extend((j, j + half_k))
+            vals.append([com.evals[j], com.evals[j + half_k]])
+        sibs, poss = tree_open_batched(com.levels, idx)
+        layer_values.append(vals)
+        layer_sibs.append(sibs)
+        layer_poss.append(poss)
+    return FriProof(
+        layer_roots=[c.root for c in layer_coms],
+        final_coeffs=final_coeffs,
+        layer_values=layer_values,
+        layer_sibs=layer_sibs,
+        layer_poss=layer_poss,
+    )
 
 
 def prove_succinct(composer, pk: ProvingKey, perm_fn=None,
@@ -677,32 +838,8 @@ def prove_succinct(composer, pk: ProvingKey, perm_fn=None,
         poly_evals[name] = com.evals
     f = _deep_compose(m0, bounds, poly_evals, evals, zeta, omega, gdeep)
 
-    # FRI commit phase: fold n_folds times, committing layers 1..L-1
-    layer_coms: list[_Com] = []
-    layer_evals: list[list[int]] = []
-    cur, shift = f, G0
-    for k in range(1, n_folds + 1):
-        beta_k = tr.challenge()
-        cur = fold_evals(cur, shift, beta_k)
-        shift = shift * shift % P
-        if k < n_folds:
-            com = _Com(evals=cur, levels=tree_build(cur, perm_fn))
-            layer_coms.append(com)
-            layer_evals.append(cur)
-            tr.absorb(com.root)
-    final_coeffs = _coset_interp(cur, shift)
-    if any(c % P for c in final_coeffs[final_degree:]):
-        # the DEEP composition is only a degree-<D polynomial when every
-        # claimed evaluation is true and every committed polynomial meets
-        # its degree bound — for an unsatisfiable witness the quotient
-        # "polynomial" fails its bound and the folds can't reach the
-        # final degree: an honest prover cannot emit a proof at all
-        raise ValueError(
-            "FRI final layer exceeds its degree bound — the witness does "
-            "not satisfy the circuit (the quotient is not a polynomial)"
-        )
-    final_coeffs = final_coeffs[:final_degree]
-    tr.absorb(*final_coeffs)
+    layer_coms, final_coeffs = _fri_commit(tr, f, m0, n_folds,
+                                           final_degree, perm_fn)
 
     half0 = m0 // 2
     queries = [tr.challenge() % half0 for _ in range(params.n_queries)]
@@ -720,30 +857,7 @@ def prove_succinct(composer, pk: ProvingKey, perm_fn=None,
             com.levels, idx0
         )
 
-    # committed-layer openings along each query's fold path
-    layer_values, layer_sibs, layer_poss = [], [], []
-    for k, com in enumerate(layer_coms, start=1):
-        m_k = m0 >> k
-        half_k = m_k // 2
-        idx = []
-        vals = []
-        for q in queries:
-            i_k = q % m_k
-            j = i_k % half_k
-            idx.extend((j, j + half_k))
-            vals.append([com.evals[j], com.evals[j + half_k]])
-        sibs, poss = tree_open_batched(com.levels, idx)
-        layer_values.append(vals)
-        layer_sibs.append(sibs)
-        layer_poss.append(poss)
-
-    fri = FriProof(
-        layer_roots=[c.root for c in layer_coms],
-        final_coeffs=final_coeffs,
-        layer_values=layer_values,
-        layer_sibs=layer_sibs,
-        layer_poss=layer_poss,
-    )
+    fri = _fri_proof(layer_coms, final_coeffs, queries, m0)
     return SuccinctProof(
         roots={name: coms[name].root for name in coms},
         evals=evals,
@@ -787,6 +901,36 @@ def verify_succinct(vk: VerifyingKey, proof: SuccinctProof,
     return bool(
         verify_succinct_batched(vk, [proof], [public_inputs], perm_fn)[0]
     )
+
+
+def _zeta_identity_ok(vk: VerifyingKey, ev: dict, pi, zeta: int, beta: int,
+                      gamma: int, alpha: int) -> bool:
+    """The PLONK identity at zeta over claimed evaluations (ev carries
+    every EVAL_ORDER name, already reduced mod P; pi truncated to the
+    gate count)."""
+    n, omega = vk.n, vk.omega
+    zh_z = (pow(zeta, n, P) - 1) % P
+    if zh_z == 0:
+        return False
+    pi_z = _pi_eval(pi, vk.n_gates, n, omega, zeta, zh_z)
+    l1_z = zh_z * pow(n * (zeta - 1) % P, P - 2, P) % P
+    gate = (
+        ev["q_m"] * ev["a"] % P * ev["b"]
+        + ev["q_l"] * ev["a"]
+        + ev["q_r"] * ev["b"]
+        + ev["q_o"] * ev["o"]
+        + ev["q_4"] * ev["d"]
+        + ev["q_c"]
+        + pi_z
+    ) % P
+    num, den = ev["z"], ev["zw"]
+    for c, name in enumerate(("a", "b", "o", "d")):
+        num = num * (ev[name] + beta * K_SHIFTS[c] * zeta + gamma) % P
+        den = den * (ev[name] + beta * ev[SIGMA_NAMES[c]] + gamma) % P
+    perm = (num - den) % P
+    boundary = l1_z * (ev["z"] - 1) % P
+    combined = (gate + alpha * perm + alpha * alpha % P * boundary) % P
+    return combined == ev["t"] * zh_z % P
 
 
 def _verify_prepare(vk: VerifyingKey, proof: SuccinctProof, public_inputs,
@@ -843,28 +987,7 @@ def _verify_prepare(vk: VerifyingKey, proof: SuccinctProof, public_inputs,
 
     # 2. the PLONK identity at zeta over the claimed evaluations
     ev = {name: proof.evals[name] % P for name in EVAL_ORDER}
-    zh_z = (pow(zeta, n, P) - 1) % P
-    if zh_z == 0:
-        return None
-    pi_z = _pi_eval(pi, vk.n_gates, n, omega, zeta, zh_z)
-    l1_z = zh_z * pow(n * (zeta - 1) % P, P - 2, P) % P
-    gate = (
-        ev["q_m"] * ev["a"] % P * ev["b"]
-        + ev["q_l"] * ev["a"]
-        + ev["q_r"] * ev["b"]
-        + ev["q_o"] * ev["o"]
-        + ev["q_4"] * ev["d"]
-        + ev["q_c"]
-        + pi_z
-    ) % P
-    num, den = ev["z"], ev["zw"]
-    for c, name in enumerate(("a", "b", "o", "d")):
-        num = num * (ev[name] + beta * K_SHIFTS[c] * zeta + gamma) % P
-        den = den * (ev[name] + beta * ev[SIGMA_NAMES[c]] + gamma) % P
-    perm = (num - den) % P
-    boundary = l1_z * (ev["z"] - 1) % P
-    combined = (gate + alpha * perm + alpha * alpha % P * boundary) % P
-    if combined != ev["t"] * zh_z % P:
+    if not _zeta_identity_ok(vk, ev, pi, zeta, beta, gamma, alpha):
         return None
 
     # structural validation of every opening block, so the pooled Merkle
@@ -994,16 +1117,14 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
         failed |= {b for b, good in zip(owner, ok_k) if not good}
 
     # 4. fold each query through the layers to the final polynomial
-    w0 = _domain_root(m0)
     for b in alive:
         if b in failed:
             continue
         c = ctx[b]
-        ev, zeta, gdeep, betas = c["ev"], c["zeta"], c["gdeep"], c["betas"]
-        flat_values, layer_flat = c["flat_values"], c["layer_flat"]
-        good = True
-        for qi, q in enumerate(c["queries"]):
-            x = G0 * pow(w0, q, P) % P
+        ev, zeta, gdeep = c["ev"], c["zeta"], c["gdeep"]
+        flat_values = c["flat_values"]
+
+        def deep_pair(qi, x, c=c, ev=ev, zeta=zeta, gdeep=gdeep):
             opened_lo = {name: flat_values[name][2 * qi]
                          for name in c["all_roots"]}
             opened_hi = {name: flat_values[name][2 * qi + 1]
@@ -1011,29 +1132,43 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
             f_lo = _deep_eval(x, bounds, opened_lo, ev, zeta, omega, gdeep)
             f_hi = _deep_eval((P - x) % P, bounds, opened_hi, ev, zeta,
                               omega, gdeep)
-            v = _fold_pair(f_lo, f_hi, betas[0], x)
-            i_k = q  # index into layer 1 (size m0/2)
-            shift = G0 * G0 % P
-            for k in range(1, n_folds):
-                m_k = m0 >> k
-                half_k = m_k // 2
-                j = (i_k % m_k) % half_k
-                lo = layer_flat[k - 1][2 * qi]
-                hi = layer_flat[k - 1][2 * qi + 1]
-                here = lo if (i_k % m_k) < half_k else hi
-                if here != v:
-                    good = False
-                    break
-                xk = shift * pow(_domain_root(m_k), j, P) % P
-                v = _fold_pair(lo, hi, betas[k], xk)
-                i_k = j
-                shift = shift * shift % P
-            if not good:
-                break
-            m_l = m0 >> n_folds
-            x_final = shift * pow(_domain_root(m_l), i_k % m_l, P) % P
-            if v != poly_eval(list(proofs[b].fri.final_coeffs), x_final):
-                good = False
-                break
-        verdict[b] = good
+            return f_lo, f_hi
+
+        verdict[b] = _fold_check(
+            c["queries"], c["betas"], m0, n_folds, c["layer_flat"],
+            proofs[b].fri.final_coeffs, deep_pair,
+        )
     return verdict
+
+
+def _fold_check(queries, betas, m0: int, n_folds: int, layer_flat,
+                final_coeffs, deep_pair_fn) -> bool:
+    """Fold every query through the committed layers to the final
+    polynomial. deep_pair_fn(qi, x) -> (F(x), F(-x)) from the opened
+    layer-0 leaf values; layer_flat[k-1] holds the flattened (lo, hi)
+    opened values of committed layer k."""
+    w0 = _domain_root(m0)
+    for qi, q in enumerate(queries):
+        x = G0 * pow(w0, q, P) % P
+        f_lo, f_hi = deep_pair_fn(qi, x)
+        v = _fold_pair(f_lo, f_hi, betas[0], x)
+        i_k = q  # index into layer 1 (size m0/2)
+        shift = G0 * G0 % P
+        for k in range(1, n_folds):
+            m_k = m0 >> k
+            half_k = m_k // 2
+            j = (i_k % m_k) % half_k
+            lo = layer_flat[k - 1][2 * qi]
+            hi = layer_flat[k - 1][2 * qi + 1]
+            here = lo if (i_k % m_k) < half_k else hi
+            if here != v:
+                return False
+            xk = shift * pow(_domain_root(m_k), j, P) % P
+            v = _fold_pair(lo, hi, betas[k], xk)
+            i_k = j
+            shift = shift * shift % P
+        m_l = m0 >> n_folds
+        x_final = shift * pow(_domain_root(m_l), i_k % m_l, P) % P
+        if v != poly_eval(list(final_coeffs), x_final):
+            return False
+    return True
