@@ -51,6 +51,7 @@ from .utils.encoding import (
 
 MAGIC_PROOF = b"HSP1"
 MAGIC_VK = b"HVK1"
+MAGIC_AGG = b"HAP1"
 
 #: Wire order of the proof's own commitment roots.
 ROOT_NAMES = ("a", "b", "o", "d", "z", "t")
@@ -59,6 +60,10 @@ OPEN_ORDER = ROOT_NAMES + SELECTOR_NAMES + SIGMA_NAMES
 
 _PROOF_HEADER = struct.Struct("<IIIIBH")  # n, blowup, q, final_degree, zk, n_final
 _VK_HEADER = struct.Struct("<IIIIIB")  # n, n_gates, blowup, q, final_degree, zk
+# n, blowup, q, final_degree, zk, n_final, n_instances
+_AGG_HEADER = struct.Struct("<IIIIBHI")
+#: Wire order of the shared key opening blocks (10 preprocessed trees).
+KEY_ORDER = SELECTOR_NAMES + SIGMA_NAMES
 
 
 def _schema(n: int, params: FriParams):
@@ -292,3 +297,191 @@ def vk_from_bytes(data: bytes) -> VerifyingKey:
     r.done()
     return VerifyingKey(n=n, omega=_domain_root(n), n_gates=n_gates,
                         digest=digest, roots=roots, params=params)
+
+
+# ---------------------------------------------------------------------------
+# Aggregated proofs (aggregate.py): HAP1
+# ---------------------------------------------------------------------------
+
+
+def expected_aggregate_size(n: int, params: FriParams, n_instances: int,
+                            n_final: int | None = None) -> int:
+    """Exact serialized size in bytes of an aggregated proof for
+    `n_instances` instances (header included)."""
+    from .aggregate import KEY_EVAL_ORDER, WIRE_EVAL_ORDER, WIRE_NAMES
+
+    _, final_degree, n_folds, h0, heights = _schema(n, params)
+    if n_final is None:
+        n_final = final_degree
+    q = params.n_queries
+    size = len(MAGIC_AGG) + _AGG_HEADER.size
+    size += 32 * (
+        len(WIRE_NAMES)
+        + n_instances * len(WIRE_EVAL_ORDER)
+        + len(KEY_EVAL_ORDER)
+        + (n_folds - 1)
+        + n_final
+    )
+    path = lambda h: 2 * q * h * (ARITY - 1) * 32 + 2 * q * h
+    # wire block trees: B opened values per side, one shared path set
+    size += len(WIRE_NAMES) * (q * 2 * n_instances * 32 + path(h0))
+    # shared key trees: single-value openings
+    size += len(KEY_ORDER) * (q * 2 * 32 + path(h0))
+    size += sum(q * 2 * 32 + path(h) for h in heights)
+    return size
+
+
+def _block_values_bytes(vals, q: int, n_instances: int) -> bytes:
+    if len(vals) != q or any(
+        len(pair) != 2 or any(len(side) != n_instances for side in pair)
+        for pair in vals
+    ):
+        raise ValueError(
+            "block opened-value block must be (n_queries, 2, n_instances)"
+        )
+    return b"".join(
+        scalar_to_bytes(int(v)) for pair in vals for side in pair
+        for v in side
+    )
+
+
+def aggregate_to_bytes(proof, vk: VerifyingKey) -> bytes:
+    """Serialize an `aggregate.AggregateProof` against the key's schema.
+    Same strictness contract as `proof_to_bytes`."""
+    from .aggregate import KEY_EVAL_ORDER, WIRE_EVAL_ORDER, WIRE_NAMES
+
+    params = vk.params
+    _, final_degree, n_folds, h0, heights = _schema(vk.n, params)
+    q = params.n_queries
+    n_inst = int(proof.n_instances)
+    if n_inst < 1:
+        raise ValueError("aggregate proof needs at least one instance")
+    if len(proof.evals) != n_inst:
+        raise ValueError("per-instance evaluation count != n_instances")
+    n_final = len(proof.fri.final_coeffs)
+    if n_final > final_degree:
+        raise ValueError("final_coeffs exceeds the effective final degree")
+    if len(proof.fri.layer_roots) != n_folds - 1:
+        raise ValueError("layer_roots count disagrees with the key schema")
+    out = bytearray()
+    out += MAGIC_AGG
+    out += _AGG_HEADER.pack(vk.n, params.blowup, q, params.final_degree,
+                            int(params.zk), n_final, n_inst)
+    for name in WIRE_NAMES:
+        if name not in proof.roots:
+            raise ValueError(f"missing commitment root {name!r}")
+        out += scalar_to_bytes(int(proof.roots[name]))
+    for e in proof.evals:
+        for name in WIRE_EVAL_ORDER:
+            if name not in e:
+                raise ValueError(f"missing claimed evaluation {name!r}")
+            out += scalar_to_bytes(int(e[name]))
+    for name in KEY_EVAL_ORDER:
+        if name not in proof.key_evals:
+            raise ValueError(f"missing key evaluation {name!r}")
+        out += scalar_to_bytes(int(proof.key_evals[name]))
+    for root in proof.fri.layer_roots:
+        out += scalar_to_bytes(int(root))
+    for c in proof.fri.final_coeffs:
+        out += scalar_to_bytes(int(c))
+    for name in WIRE_NAMES:
+        if (name not in proof.open_values or name not in proof.open_sibs
+                or name not in proof.open_poss):
+            raise ValueError(f"missing opening block {name!r}")
+        out += _block_values_bytes(proof.open_values[name], q, n_inst)
+        out += _sibs_bytes(proof.open_sibs[name], h0, q)
+        out += _poss_bytes(proof.open_poss[name], h0, q)
+    for name in KEY_ORDER:
+        if (name not in proof.key_open_values
+                or name not in proof.key_open_sibs
+                or name not in proof.key_open_poss):
+            raise ValueError(f"missing key opening block {name!r}")
+        out += _values_bytes(proof.key_open_values[name], q)
+        out += _sibs_bytes(proof.key_open_sibs[name], h0, q)
+        out += _poss_bytes(proof.key_open_poss[name], h0, q)
+    for part in (proof.fri.layer_values, proof.fri.layer_sibs,
+                 proof.fri.layer_poss):
+        if len(part) != n_folds - 1:
+            raise ValueError("FRI layer blocks disagree with the key schema")
+    for k, h in enumerate(heights):
+        out += _values_bytes(proof.fri.layer_values[k], q)
+        out += _sibs_bytes(proof.fri.layer_sibs[k], h, q)
+        out += _poss_bytes(proof.fri.layer_poss[k], h, q)
+    return bytes(out)
+
+
+def aggregate_from_bytes(data: bytes, vk: VerifyingKey):
+    """Strict inverse of `aggregate_to_bytes` (same contract as
+    `proof_from_bytes`)."""
+    from .aggregate import (
+        AggregateProof,
+        KEY_EVAL_ORDER,
+        WIRE_EVAL_ORDER,
+        WIRE_NAMES,
+    )
+
+    r = _Reader(data)
+    if r.take(len(MAGIC_AGG)) != MAGIC_AGG:
+        raise ValueError("not a Hades aggregated proof (bad magic)")
+    params = vk.params
+    n, blowup, q, final_degree, zk, n_final, n_inst = _AGG_HEADER.unpack(
+        r.take(_AGG_HEADER.size)
+    )
+    if (n, blowup, q, final_degree, bool(zk)) != (
+        vk.n, params.blowup, params.n_queries, params.final_degree,
+        params.zk,
+    ):
+        raise ValueError("proof header disagrees with the verifying key")
+    if n_inst < 1:
+        raise ValueError("aggregate proof needs at least one instance")
+    _, fd_eff, n_folds, h0, heights = _schema(vk.n, params)
+    if n_final > fd_eff:
+        raise ValueError("final_coeffs exceeds the effective final degree")
+    roots = {name: r.scalar() for name in WIRE_NAMES}
+    evals = [
+        {name: r.scalar() for name in WIRE_EVAL_ORDER}
+        for _ in range(n_inst)
+    ]
+    key_evals = {name: r.scalar() for name in KEY_EVAL_ORDER}
+    layer_roots = r.scalars(n_folds - 1)
+    final_coeffs = r.scalars(n_final)
+    open_values, open_sibs, open_poss = {}, {}, {}
+    for name in WIRE_NAMES:
+        flat = r.scalars(2 * q * n_inst)
+        open_values[name] = [
+            [flat[2 * n_inst * i : 2 * n_inst * i + n_inst],
+             flat[2 * n_inst * i + n_inst : 2 * n_inst * (i + 1)]]
+            for i in range(q)
+        ]
+        open_sibs[name] = r.sibs(h0, q)
+        open_poss[name] = r.poss(h0, q)
+    key_open_values, key_open_sibs, key_open_poss = {}, {}, {}
+    for name in KEY_ORDER:
+        key_open_values[name] = r.values(q)
+        key_open_sibs[name] = r.sibs(h0, q)
+        key_open_poss[name] = r.poss(h0, q)
+    layer_values, layer_sibs, layer_poss = [], [], []
+    for h in heights:
+        layer_values.append(r.values(q))
+        layer_sibs.append(r.sibs(h, q))
+        layer_poss.append(r.poss(h, q))
+    r.done()
+    return AggregateProof(
+        n_instances=n_inst,
+        roots=roots,
+        evals=evals,
+        key_evals=key_evals,
+        fri=FriProof(
+            layer_roots=layer_roots,
+            final_coeffs=final_coeffs,
+            layer_values=layer_values,
+            layer_sibs=layer_sibs,
+            layer_poss=layer_poss,
+        ),
+        open_values=open_values,
+        open_sibs=open_sibs,
+        open_poss=open_poss,
+        key_open_values=key_open_values,
+        key_open_sibs=key_open_sibs,
+        key_open_poss=key_open_poss,
+    )

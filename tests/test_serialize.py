@@ -184,3 +184,109 @@ def test_tampered_byte_still_verifies_as_false(setup):
     data[off] ^= 1  # low byte of the first root: value stays < p
     back = serialize.proof_from_bytes(bytes(data), vk)
     assert not fri.verify_succinct(vk, back, [g.pi for g in c.gates])
+
+
+# -- aggregated proofs (HAP1) -------------------------------------------------
+
+
+def _agg_instances():
+    def tiny(a_val, b_val):
+        c = Composer()
+        a = c.append_witness(a_val)
+        b = c.append_witness(b_val)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+        c.gate_add(Constraint().left(1).a(a).right(1).b(b)
+                   .public(-(a_val + b_val)))
+        return c
+
+    return [tiny(3, 5), tiny(2, 9), tiny(7, 11)]
+
+
+@pytest.fixture(scope="module")
+def agg_setup(setup):
+    from hades252_tpu import aggregate
+
+    _, pk, vk, _ = setup
+    cs = _agg_instances()
+    proof = aggregate.prove_aggregate(cs, pk)
+    pis = [[g.pi for g in c.gates] for c in cs]
+    return vk, proof, pis
+
+
+def test_aggregate_roundtrip(agg_setup):
+    from hades252_tpu import aggregate
+
+    vk, proof, pis = agg_setup
+    data = serialize.aggregate_to_bytes(proof, vk)
+    assert len(data) == serialize.expected_aggregate_size(
+        vk.n, vk.params, proof.n_instances
+    )
+    back = serialize.aggregate_from_bytes(data, vk)
+    assert aggregate.verify_aggregate(vk, back, pis)
+    assert serialize.aggregate_to_bytes(back, vk) == data
+
+
+def test_aggregate_zk_roundtrip(zk_setup):
+    from hades252_tpu import aggregate, fri
+
+    c, pk, vk, _ = zk_setup
+    cs = _agg_instances()
+    proof = aggregate.prove_aggregate(cs, pk, rng=np.random.default_rng(3))
+    pis = [[g.pi for g in ci.gates] for ci in cs]
+    data = serialize.aggregate_to_bytes(proof, vk)
+    assert len(data) == serialize.expected_aggregate_size(
+        vk.n, vk.params, proof.n_instances,
+        n_final=len(proof.fri.final_coeffs),
+    )
+    back = serialize.aggregate_from_bytes(data, vk)
+    assert aggregate.verify_aggregate(vk, back, pis)
+
+
+def test_aggregate_strict_rejections(agg_setup):
+    vk, proof, pis = agg_setup
+    data = serialize.aggregate_to_bytes(proof, vk)
+    # bad magic
+    with pytest.raises(ValueError, match="magic"):
+        serialize.aggregate_from_bytes(b"XXXX" + data[4:], vk)
+    # a succinct-proof blob is not an aggregate blob
+    with pytest.raises(ValueError, match="magic"):
+        serialize.aggregate_from_bytes(
+            serialize.MAGIC_PROOF + data[4:], vk
+        )
+    # truncation / trailing bytes
+    with pytest.raises(ValueError, match="truncated"):
+        serialize.aggregate_from_bytes(data[:-1], vk)
+    with pytest.raises(ValueError, match="trailing"):
+        serialize.aggregate_from_bytes(data + b"\0", vk)
+    # zero instances in the header
+    hdr = bytearray(data)
+    off = len(serialize.MAGIC_AGG) + serialize._AGG_HEADER.size - 4
+    hdr[off:off + 4] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="at least one"):
+        serialize.aggregate_from_bytes(bytes(hdr), vk)
+    # header/key disagreement
+    import dataclasses
+
+    other = dataclasses.replace(vk, n=2 * vk.n)
+    with pytest.raises(ValueError, match="disagrees"):
+        serialize.aggregate_from_bytes(data, other)
+
+
+def test_aggregate_tampered_byte_verifies_false(agg_setup):
+    # flip one opened-value byte: decode still succeeds structurally,
+    # verification catches it
+    from hades252_tpu import aggregate
+
+    vk, proof, pis = agg_setup
+    data = bytearray(serialize.aggregate_to_bytes(proof, vk))
+    # first wire opened value starts after roots/evals/key_evals/
+    # layer_roots/final_coeffs
+    n_scalars_before = (
+        6 + proof.n_instances * 7 + 10
+        + len(proof.fri.layer_roots) + len(proof.fri.final_coeffs)
+    )
+    off = len(serialize.MAGIC_AGG) + serialize._AGG_HEADER.size \
+        + 32 * n_scalars_before
+    data[off] ^= 1
+    back = serialize.aggregate_from_bytes(bytes(data), vk)
+    assert not aggregate.verify_aggregate(vk, back, pis)
