@@ -106,3 +106,28 @@ sp2 = serialize.proof_from_bytes(wire_sp, vk2)
 print("wire roundtrip verifies:",
       fri.verify_succinct(vk2, sp2, [g.pi for g in tiny.gates]),
       f"({len(wire_sp)} proof bytes, {len(wire_vk)} key bytes)")
+
+# --- aggregated proofs: ONE argument for B same-circuit instances -------------
+# block Merkle commitments share every path + the whole FRI argument, so
+# the marginal instance carries only claimed evals and opened leaf values;
+# the SAME vk verifies singles and aggregates.
+from hades252_tpu import aggregate
+
+
+def tiny_instance(x: int, y: int):
+    ci = h.Composer()
+    wa = ci.append_witness(x)
+    wb = ci.append_witness(y)
+    ci.gate_mul(h.Constraint().mult(1).a(wa).b(wb))
+    return ci
+
+
+batch = [tiny_instance(3, 5), tiny_instance(2, 9), tiny_instance(7, 11)]
+agg = aggregate.prove_aggregate(batch, pk)
+pis = [[g.pi for g in ci.gates] for ci in batch]
+wire_agg = serialize.aggregate_to_bytes(agg, vk)
+print("aggregate of", agg.n_instances, "instances verifies:",
+      aggregate.verify_aggregate(vk, agg, pis),
+      f"({aggregate.aggregate_size_field_elements(agg)} field elements, "
+      f"{len(wire_agg)} wire bytes, vs "
+      f"{3 * fri.proof_size_field_elements(sp)} for 3 separate proofs)")

@@ -17,6 +17,11 @@ Public API parity with the reference crate root (reference: src/lib.rs:20-31):
                                                 Merkle + DEEP-FRI polynomial
                                                 commitments (the reference's
                                                 KZG capability, self-hosted)
+  aggregate (module)                          — ONE succinct argument for B
+                                                same-circuit instances
+                                                (shared paths + FRI)
+  serialize (module)                          — byte wire formats for
+                                                proofs / aggregates / keys
 """
 
 from .params import (  # noqa: F401
