@@ -605,3 +605,309 @@ def prove_succinct_device(composer, pk: ProvingKey,
     return prove_succinct_device_batch(
         [composer], pk, rngs=None if rng is None else [rng]
     )[0]
+
+
+# ---------------------------------------------------------------------------
+# Device-resident AGGREGATE prover (aggregate.py's argument, on the TPU)
+# ---------------------------------------------------------------------------
+
+
+def prove_aggregate_device(composers, pk: ProvingKey, rng=None):
+    """Device twin of aggregate.prove_aggregate: ONE succinct argument
+    for B same-circuit instances, with the polynomial phases, block-tree
+    hashing, DEEP composition, and FRI folds on the device. Output is
+    BIT-IDENTICAL to aggregate.prove_aggregate(composers, pk, rng=rng)
+    for the same randomness stream (tests/test_fri_tpu.py), so
+    aggregate.verify_aggregate accepts it unchanged and the host
+    aggregate prover remains the auditable oracle.
+
+    vs prove_succinct_device_batch: challenges are SHARED (one
+    transcript, block commitments binding every instance before each
+    draw), the 6 wire-family trees hold B-value leaf blocks, and one
+    DEEP-FRI covers all B*7 wire claims + the 10 key claims."""
+    from .aggregate import (
+        AggregateProof,
+        KEY_EVAL_ORDER,
+        WIRE_EVAL_ORDER,
+        WIRE_NAMES,
+        _absorb_statement,
+        _agg_terms,
+    )
+
+    if not composers:
+        raise ValueError("at least one composer required")
+    key, params = pk.key, pk.params
+    n, omega = key.n, key.omega
+    b = len(composers)
+    bounds = _bounds(n, params)
+    d_bound = bounds["D"]
+    m0 = params.blowup * d_bound
+    final_degree = min(params.final_degree, d_bound // 2)
+    n_folds = (d_bound // final_degree).bit_length() - 1
+    rand_field = fri._rand_field_fn(rng)
+
+    ref_idx = plonk._wire_indices(composers[0])
+    for c in composers[1:]:
+        if plonk._wire_indices(c) != ref_idx:
+            raise ValueError(
+                "prove_aggregate requires all composers to share one "
+                "circuit structure"
+            )
+
+    # --- witness polynomials (batched phases, shared challenges) ----------
+    wire_int = [
+        [
+            [c._values[idx] % P for idx in col] + [0] * (n - key.n_gates)
+            for col in plonk._wire_indices(c)
+        ]
+        for c in composers
+    ]
+    wire_evals_dev = jnp.asarray(ints_to_digits(wire_int, shape=(b, 4, n)))
+    pi_cols = [
+        [v % P for v in plonk._public_input_column(c, n)]
+        for c in composers
+    ]
+
+    tables_n = prover_tpu._key_tables(key)
+    tables_m = prover_tpu._key_tables(key, m=d_bound, d_z=bounds["d_z"])
+
+    wires_dev = prover_tpu._phase1_wires(wire_evals_dev)  # (B, 4, n, D)
+    if params.zk:
+        # the host aggregate prover draws instance-major: per composer,
+        # 4 wires x zkw coefficients from ONE shared stream
+        r_w = ints_to_digits(
+            [rand_field() for _ in range(b * 4 * bounds["zkw"])],
+            shape=(b, 4, bounds["zkw"]),
+        )
+        wires_dev = _blind_dev(wires_dev, jnp.asarray(r_w))
+
+    tr = Transcript()
+    _absorb_statement(tr, pk.digest, n, key.n_gates, pi_cols)
+
+    pad = ARITY ** fri.block_levels_for(b)
+    bl = fri.block_levels_for(b)
+
+    def block_leaves(evals_rows: jnp.ndarray) -> jnp.ndarray:
+        """(F, B, m0, D) family evaluations -> (F, m0*pad, D) block-leaf
+        vectors (position-major, instance within block, zero-padded) —
+        the device layout of fri.tree_build_blocks' flat vector."""
+        f_ = evals_rows.shape[0]
+        x = jnp.transpose(evals_rows, (0, 2, 1, 3))  # (F, m0, B, D)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad - b), (0, 0)))
+        return x.reshape(f_, m0 * pad, N_DIGITS)
+
+    wires_l0 = _coset_eval_dev(wires_dev, m0)             # (B, 4, m0, D)
+    abod_rows = jnp.transpose(wires_l0, (1, 0, 2, 3))     # (4, B, m0, D)
+    abod_levels = _build_levels(block_leaves(abod_rows))
+    abod_roots = _root_ints(abod_levels)
+    levels = {}
+    roots = {}
+    for j, name in enumerate("abod"):
+        levels[name] = [lv[j] for lv in abod_levels]
+        roots[name] = abod_roots[j]
+        tr.absorb(roots[name])
+    beta = tr.challenge()
+    gamma = tr.challenge()
+
+    ones = lambda v: jnp.asarray(ints_to_digits([v] * b, shape=(b,)))
+    z_dev = prover_tpu._phase2_grand_product(
+        wire_evals_dev, ones(beta), ones(gamma),
+        jnp.asarray(tables_n["ids_mont"]),
+        jnp.asarray(tables_n["sigma_n_mont"]),
+        jnp.asarray(tables_n["one_mont"]),
+    )  # (B, n, D)
+    if params.zk:
+        r_z = ints_to_digits(
+            [rand_field() for _ in range(b * bounds["zkz"])],
+            shape=(b, bounds["zkz"]),
+        )
+        z_dev = _blind_dev(z_dev, jnp.asarray(r_z))
+    z_l0 = _coset_eval_dev(z_dev, m0)                     # (B, m0, D)
+    z_levels = _build_levels(block_leaves(z_l0[None]))
+    levels["z"] = [lv[0] for lv in z_levels]
+    roots["z"] = _root_ints(z_levels)[0]
+    tr.absorb(roots["z"])
+    alpha = tr.challenge()
+
+    pi_dev = jnp.asarray(ints_to_digits(pi_cols, shape=(b, n)))
+    t_dev = prover_tpu._phase3_quotient(
+        wires_dev, z_dev, pi_dev, ones(beta), ones(gamma), ones(alpha),
+        jnp.asarray(tables_m["kx_mont"]),
+        jnp.asarray(tables_m["sigma_m_mont"]),
+        {k_: jnp.asarray(v) for k_, v in tables_m["q_mont"].items()},
+        jnp.asarray(tables_m["zh_inv_mont"]),
+        jnp.asarray(tables_m["l1_mont"]),
+        jnp.asarray(tables_m["omega_mont"]),
+        jnp.asarray(tables_n["one_mont"]),
+    )  # (B, d_bound, D)
+    t_l0 = _coset_eval_dev(t_dev, m0)
+    t_levels = _build_levels(block_leaves(t_l0[None]))
+    levels["t"] = [lv[0] for lv in t_levels]
+    roots["t"] = _root_ints(t_levels)[0]
+    tr.absorb(roots["t"])
+    zeta = tr.challenge()
+
+    # --- claimed evaluations (host Horner on fetched coefficients) --------
+    wires_np = np.asarray(wires_dev)
+    z_np = np.asarray(z_dev)
+    t_np = np.asarray(t_dev)
+    evals = []
+    for i in range(b):
+        evals.append({
+            "a": poly_eval(_ints_row(wires_np[i, 0]), zeta),
+            "b": poly_eval(_ints_row(wires_np[i, 1]), zeta),
+            "o": poly_eval(_ints_row(wires_np[i, 2]), zeta),
+            "d": poly_eval(_ints_row(wires_np[i, 3]), zeta),
+            "z": poly_eval(_ints_row(z_np[i]), zeta),
+            "zw": poly_eval(_ints_row(z_np[i]), zeta * omega % P),
+            "t": poly_eval(_ints_row(t_np[i]), zeta),
+        })
+    key_evals = {}
+    for name in SELECTOR_NAMES:
+        key_evals[name] = poly_eval(key.selectors[name], zeta)
+    for j, name in enumerate(SIGMA_NAMES):
+        key_evals[name] = poly_eval(key.sigmas[j], zeta)
+    for e in evals:
+        tr.absorb(*[e[name] for name in WIRE_EVAL_ORDER])
+    tr.absorb(*[key_evals[name] for name in KEY_EVAL_ORDER])
+    gdeep = tr.challenge()
+
+    # --- one DEEP composition over all B*7 + 10 claims --------------------
+    key_rows = jnp.asarray(_pk_key_evals(pk))             # (10, m0, D)
+    inst_rows = jnp.concatenate(
+        [wires_l0, z_l0[:, None], t_l0[:, None]], axis=1
+    )  # (B, 6, m0, D)
+    stack = jnp.concatenate(
+        [inst_rows.reshape(b * 6, m0, N_DIGITS), key_rows], axis=0
+    )[None]  # (1, 6B+10, m0, D)
+    wire_row = {"a": 0, "b": 1, "o": 2, "d": 3, "z": 4, "t": 5}
+    key_row = {name: 6 * b + j
+               for j, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES)}
+    agg_terms = _agg_terms(bounds, b)
+    s_values = sorted({d_bound + 1 - dj for (_, _, _, _, dj) in agg_terms})
+    pows = jnp.asarray(np.stack([_pow_mont(m0, s) for s in s_values]))
+    spec = tuple(
+        ((key_row[pname] if j is None else 6 * j + wire_row[pname]),
+         s_values.index(d_bound + 1 - dj), shifted)
+        for (j, pname, ename, shifted, dj) in agg_terms
+    )
+    vs_int = [
+        (key_evals[ename] if j is None else evals[j][ename])
+        for (j, pname, ename, shifted, dj) in agg_terms
+    ]
+    vs = jnp.asarray(ints_to_digits(vs_int, shape=(1, len(agg_terms))))
+    gpow_int, g_acc = [], 1
+    for _ in agg_terms:
+        gpow_int.append(g_acc * R % P)
+        g_acc = g_acc * gdeep % P
+    gammas = jnp.asarray(ints_to_digits(gpow_int,
+                                        shape=(1, len(agg_terms))))
+    xs = jnp.asarray(_xs_digits(m0))
+    inv_a = _inv_mont_dev(xs, jnp.asarray(ints_to_digits([zeta],
+                                                         shape=(1,))))
+    inv_b = _inv_mont_dev(xs, jnp.asarray(ints_to_digits(
+        [zeta * omega % P], shape=(1,))))
+    f_dev = _deep_dev_jit(stack, vs, gammas, pows, inv_a, inv_b, spec)
+
+    # --- one FRI commit phase ---------------------------------------------
+    inv2_mont = jnp.asarray(_scalar_mont((P + 1) // 2))
+    layer_data = []
+    layer_roots = []
+    cur = f_dev
+    shift = G0
+    size = m0
+    for k_fold in range(1, n_folds + 1):
+        beta_k = tr.challenge()
+        bm = jnp.asarray(ints_to_digits([beta_k * R % P], shape=(1,)))
+        cur = _fold_dev(cur, bm, jnp.asarray(_xinv_mont(size, shift)),
+                        inv2_mont)
+        shift = shift * shift % P
+        size //= 2
+        if k_fold < n_folds:
+            lv = _build_levels(cur)
+            rt = _root_ints(lv)[0]
+            layer_data.append((cur, lv))
+            layer_roots.append(rt)
+            tr.absorb(rt)
+    final_coeffs = fri._coset_interp(_ints_row(np.asarray(cur)[0]), shift)
+    if any(c_ % P for c_ in final_coeffs[final_degree:]):
+        raise ValueError(
+            "FRI final layer exceeds its degree bound — some witness "
+            "does not satisfy the circuit"
+        )
+    final_coeffs = final_coeffs[:final_degree]
+    tr.absorb(*final_coeffs)
+
+    half0 = m0 // 2
+    queries = [tr.challenge() % half0 for _ in range(params.n_queries)]
+    idx0 = np.asarray([v for q in queries for v in (q, q + half0)])
+
+    # --- openings ---------------------------------------------------------
+    l0_rows = {"a": wires_l0[:, 0], "b": wires_l0[:, 1],
+               "o": wires_l0[:, 2], "d": wires_l0[:, 3],
+               "z": z_l0, "t": t_l0}
+    open_values, open_sibs, open_poss = {}, {}, {}
+    for name in WIRE_NAMES:
+        vals = np.asarray(jnp.take_along_axis(
+            jnp.asarray(l0_rows[name]),
+            jnp.asarray(idx0)[None, :, None], axis=1
+        ))  # (B, 2Q, D)
+        ints = digits_to_ints(vals)
+        open_values[name] = [
+            [[int(ints[i, 2 * qi]) for i in range(b)],
+             [int(ints[i, 2 * qi + 1]) for i in range(b)]]
+            for qi in range(params.n_queries)
+        ]
+        upper = [lv[None] for lv in levels[name][bl:]]
+        sibs, poss = _open_batched_dev(upper, idx0[None])
+        open_sibs[name] = sibs[0]
+        open_poss[name] = poss[0]
+    key_open_values, key_open_sibs, key_open_poss = {}, {}, {}
+    for name, com in pk.key_coms.items():
+        key_open_values[name] = [
+            [com.evals[q], com.evals[q + half0]] for q in queries
+        ]
+        key_open_sibs[name], key_open_poss[name] = fri.tree_open_batched(
+            com.levels, idx0
+        )
+
+    layer_values, layer_sibs, layer_poss = [], [], []
+    for k_fold in range(1, n_folds):
+        m_k = m0 >> k_fold
+        half_k = m_k // 2
+        idx = np.asarray([
+            v for q in queries
+            for v in ((q % m_k) % half_k, (q % m_k) % half_k + half_k)
+        ])
+        cur_k, lv = layer_data[k_fold - 1]
+        vals = np.asarray(jnp.take_along_axis(
+            jnp.asarray(cur_k), jnp.asarray(idx)[None, :, None], axis=1
+        ))
+        ints = digits_to_ints(vals)[0]
+        sibs, poss = _open_batched_dev(lv, idx[None])
+        layer_values.append([
+            [int(ints[2 * qi]), int(ints[2 * qi + 1])]
+            for qi in range(params.n_queries)
+        ])
+        layer_sibs.append(sibs[0])
+        layer_poss.append(poss[0])
+
+    return AggregateProof(
+        n_instances=b,
+        roots=roots,
+        evals=evals,
+        key_evals=key_evals,
+        fri=FriProof(
+            layer_roots=layer_roots,
+            final_coeffs=final_coeffs,
+            layer_values=layer_values,
+            layer_sibs=layer_sibs,
+            layer_poss=layer_poss,
+        ),
+        open_values=open_values,
+        open_sibs=open_sibs,
+        open_poss=open_poss,
+        key_open_values=key_open_values,
+        key_open_sibs=key_open_sibs,
+        key_open_poss=key_open_poss,
+    )

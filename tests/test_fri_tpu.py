@@ -88,3 +88,61 @@ def test_batched_rejects_mixed_circuits():
     pk, _ = fri.preprocess_succinct(c1, params)
     with pytest.raises(ValueError, match="circuit structure"):
         fri_tpu.prove_succinct_device_batch([c1, c2], pk)
+
+
+@pytest.mark.parametrize("zk", [False, True])
+def test_device_aggregate_bit_identical(zk):
+    # the device aggregate prover must emit the exact AggregateProof the
+    # host prover does for the same randomness stream (jax.clear_caches
+    # first: fresh shape set on top of earlier executables — the
+    # diagnosed XLA:CPU live-executable hazard, CLAUDE.md)
+    import jax
+
+    from hades252_tpu import aggregate
+
+    jax.clear_caches()
+    cs = []
+    for k in range(3):
+        c = Composer()
+        a = c.append_witness(3 + k)
+        b = c.append_witness(5 + 2 * k)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+        c.gate_add(Constraint().left(1).a(a).right(1).b(b)
+                   .public(-(8 + 3 * k)))
+        cs.append(c)
+    pis = [[g.pi for g in c.gates] for c in cs]
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8, zk=zk)
+    pk, vk = fri.preprocess_succinct(cs[0], params)
+    host = aggregate.prove_aggregate(cs, pk,
+                                     rng=np.random.default_rng(21))
+    dev = fri_tpu.prove_aggregate_device(cs, pk,
+                                         rng=np.random.default_rng(21))
+    assert dev.n_instances == host.n_instances
+    assert dev.roots == host.roots
+    assert dev.evals == host.evals
+    assert dev.key_evals == host.key_evals
+    assert dev.fri.layer_roots == host.fri.layer_roots
+    assert dev.fri.final_coeffs == host.fri.final_coeffs
+    assert dev.fri.layer_values == host.fri.layer_values
+    assert dev.open_values == host.open_values
+    assert dev.key_open_values == host.key_open_values
+    for k_ in host.open_sibs:
+        assert np.array_equal(dev.open_sibs[k_], host.open_sibs[k_]), k_
+        assert np.array_equal(dev.open_poss[k_], host.open_poss[k_]), k_
+    for k_ in host.key_open_sibs:
+        assert np.array_equal(dev.key_open_sibs[k_],
+                              host.key_open_sibs[k_]), k_
+    for a1, a2 in zip(dev.fri.layer_sibs, host.fri.layer_sibs):
+        assert np.array_equal(a1, a2)
+    assert aggregate.verify_aggregate(vk, dev, pis)
+
+
+def test_device_aggregate_rejects_mixed_circuits():
+    c1 = _circuit()
+    c2 = Composer()
+    w = c2.append_witness(2)
+    c2.gate_mul(Constraint().mult(1).a(w).b(w))
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8)
+    pk, _ = fri.preprocess_succinct(c1, params)
+    with pytest.raises(ValueError, match="circuit structure"):
+        fri_tpu.prove_aggregate_device([c1, c2], pk)
