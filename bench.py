@@ -414,6 +414,75 @@ def main_fri():
     return 0
 
 
+def main_aggregate():
+    """Aggregated succinct proving throughput: B distinct 973-gate
+    permutation-preimage instances in ONE shared DEEP-FRI argument via
+    the device-resident aggregate prover. Gate: the device aggregate
+    must serialize byte-identically to the host prover's and verify.
+    argv[2] overrides B (default 8)."""
+    from hades252_tpu import aggregate, fri, fri_tpu, serialize
+    from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
+    from hades252_tpu.params import P, WIDTH
+    from hades252_tpu.strategy import ScalarStrategy
+
+    rng = np.random.default_rng(0)
+    bsz = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    strat = ScalarStrategy()
+    cs = []
+    for _ in range(bsz):
+        x = [int.from_bytes(rng.bytes(40), "little") % P
+             for _ in range(WIDTH)]
+        expected = strat.perm(list(x))
+        c = Composer()
+        ws = [c.append_witness(w) for w in x]
+        GadgetStrategy.gadget(c, ws)
+        for w, e in zip(ws, expected):
+            c.append_gate(Constraint().left(1).a(w).public(-e))
+        cs.append(c)
+    pis = [[g.pi for g in c.gates] for c in cs]
+
+    params = fri.FriParams(blowup=4, n_queries=16, final_degree=64)
+    pk, vk = fri.preprocess_succinct(cs[0], params)
+
+    t0 = time.perf_counter()
+    host = aggregate.prove_aggregate(cs, pk)
+    host_secs = time.perf_counter() - t0
+
+    fri_tpu.prove_aggregate_device(cs, pk)  # compile + warm caches
+    t0 = time.perf_counter()
+    agg = fri_tpu.prove_aggregate_device(cs, pk)
+    dev_secs = time.perf_counter() - t0
+
+    blob = serialize.aggregate_to_bytes(agg, vk)
+    ok = (blob == serialize.aggregate_to_bytes(host, vk)
+          and aggregate.verify_aggregate(vk, agg, pis))
+    if not ok:
+        raise RuntimeError(
+            "device aggregate deviates from the host oracle — refusing "
+            "to report a throughput number"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": f"fri_aggregate_prove_973gates_B{bsz}",
+                "value": round(bsz / dev_secs, 3),
+                "unit": "instances/sec/chip",
+                "sec_per_aggregate_device": round(dev_secs, 3),
+                "sec_per_aggregate_host": round(host_secs, 3),
+                "speedup": round(host_secs / dev_secs, 1),
+                "n_instances": bsz,
+                "aggregate_field_elements":
+                    aggregate.aggregate_size_field_elements(agg),
+                "aggregate_wire_bytes": len(blob),
+                "separate_proofs_wire_bytes":
+                    bsz * serialize.expected_proof_size(vk.n, params),
+                "byte_identity_gate": "passed",
+            }
+        )
+    )
+    return 0
+
+
 def main_verify():
     """Batched succinct-proof verification throughput: B proofs of the
     973-gate preimage circuit through fri.verify_succinct_batched — every
@@ -530,4 +599,5 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "perm"
     sys.exit({"perm": main, "merkle": main_merkle, "sponge": main_sponge,
               "cipher": main_cipher, "plonk": main_plonk, "fri": main_fri,
-              "verify": main_verify, "roofline": main_roofline}[mode]())
+              "aggregate": main_aggregate, "verify": main_verify,
+              "roofline": main_roofline}[mode]())

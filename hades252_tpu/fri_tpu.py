@@ -291,15 +291,44 @@ def _ints_row(arr) -> list:
     return [int(v) for v in digits_to_ints(np.asarray(arr))]
 
 
+def _unshard(x, mesh):
+    """Materialize a sharded phase output as an unsharded device array:
+    downstream ops (coset-eval scatters, Pallas tree hashing, gathers)
+    run single-device semantics; the mesh accelerates only the heavy
+    polynomial phases (same split prover_tpu.prove_batched uses)."""
+    return x if mesh is None else jnp.asarray(np.asarray(x))
+
+
+def _select_phases(mesh, n_instances: int):
+    """The three polynomial phases, optionally sharded over the instance
+    axis of a jax.sharding.Mesh (parallel/dist.sharded_phases — multi-chip
+    proving is communication-free data parallelism; bit-identity is
+    untouched)."""
+    if mesh is None:
+        return (prover_tpu._phase1_wires,
+                prover_tpu._phase2_grand_product,
+                prover_tpu._phase3_quotient)
+    from .parallel.dist import AXIS, sharded_phases
+
+    if n_instances % mesh.shape[AXIS] != 0:
+        raise ValueError(
+            f"batch {n_instances} not divisible by mesh size "
+            f"{mesh.shape[AXIS]}"
+        )
+    return sharded_phases(mesh)
+
+
 def prove_succinct_device_batch(composers, pk: ProvingKey,
-                                rngs=None) -> list:
+                                rngs=None, mesh=None) -> list:
     """Batch-prove B instances of one circuit with the succinct argument,
     device-resident (see module docstring). rngs: optional list of one
-    np.random.Generator per instance (zk determinism for tests). Each
-    returned proof is bit-identical to
-    fri.prove_succinct(composers[i], pk, rng=rngs[i])."""
+    np.random.Generator per instance (zk determinism for tests). mesh:
+    optional jax.sharding.Mesh — the polynomial phases then shard over
+    instances (B must divide by the mesh size). Each returned proof is
+    bit-identical to fri.prove_succinct(composers[i], pk, rng=rngs[i])."""
     if not composers:
         return []
+    phase1, phase2, phase3 = _select_phases(mesh, len(composers))
     key, params = pk.key, pk.params
     n, omega = key.n, key.omega
     b = len(composers)
@@ -337,7 +366,7 @@ def prove_succinct_device_batch(composers, pk: ProvingKey,
     tables_n = prover_tpu._key_tables(key)  # phase-2 tables (m = 4n)
     tables_m = prover_tpu._key_tables(key, m=d_bound, d_z=bounds["d_z"])
 
-    wires_dev = prover_tpu._phase1_wires(wire_evals_dev)  # (B, 4, n, D)
+    wires_dev = _unshard(phase1(wire_evals_dev), mesh)  # (B, 4, n, D)
     if params.zk:
         # per instance, the identical randomness stream to the host
         # prover: wires a..d (zkw draws each), later z (zkz draws)
@@ -367,12 +396,13 @@ def prove_succinct_device_batch(composers, pk: ProvingKey,
 
     bd = jnp.asarray(ints_to_digits(betas, shape=(b,)))
     gd = jnp.asarray(ints_to_digits(gammas_fs, shape=(b,)))
-    z_dev = prover_tpu._phase2_grand_product(
+    z_dev = phase2(
         wire_evals_dev, bd, gd,
         jnp.asarray(tables_n["ids_mont"]),
         jnp.asarray(tables_n["sigma_n_mont"]),
         jnp.asarray(tables_n["one_mont"]),
     )  # (B, n, D)
+    z_dev = _unshard(z_dev, mesh)
     if params.zk:
         r_z = ints_to_digits(
             [rand_fields[i]() for i in range(b)
@@ -389,7 +419,7 @@ def prove_succinct_device_batch(composers, pk: ProvingKey,
 
     ad = jnp.asarray(ints_to_digits(alphas, shape=(b,)))
     pi_dev = jnp.asarray(ints_to_digits(pi_cols, shape=(b, n)))
-    t_dev = prover_tpu._phase3_quotient(
+    t_dev = phase3(
         wires_dev, z_dev, pi_dev, bd, gd, ad,
         jnp.asarray(tables_m["kx_mont"]),
         jnp.asarray(tables_m["sigma_m_mont"]),
@@ -399,6 +429,7 @@ def prove_succinct_device_batch(composers, pk: ProvingKey,
         jnp.asarray(tables_m["omega_mont"]),
         jnp.asarray(tables_n["one_mont"]),
     )  # (B, d_bound, D)
+    t_dev = _unshard(t_dev, mesh)
     t_l0 = _coset_eval_dev(t_dev, m0)
     levels["t"] = _build_levels(t_l0)
     roots["t"] = _root_ints(levels["t"])
@@ -612,7 +643,8 @@ def prove_succinct_device(composer, pk: ProvingKey,
 # ---------------------------------------------------------------------------
 
 
-def prove_aggregate_device(composers, pk: ProvingKey, rng=None):
+def prove_aggregate_device(composers, pk: ProvingKey, rng=None,
+                           mesh=None):
     """Device twin of aggregate.prove_aggregate: ONE succinct argument
     for B same-circuit instances, with the polynomial phases, block-tree
     hashing, DEEP composition, and FRI folds on the device. Output is
@@ -636,6 +668,7 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None):
 
     if not composers:
         raise ValueError("at least one composer required")
+    phase1, phase2, phase3 = _select_phases(mesh, len(composers))
     key, params = pk.key, pk.params
     n, omega = key.n, key.omega
     b = len(composers)
@@ -671,7 +704,7 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None):
     tables_n = prover_tpu._key_tables(key)
     tables_m = prover_tpu._key_tables(key, m=d_bound, d_z=bounds["d_z"])
 
-    wires_dev = prover_tpu._phase1_wires(wire_evals_dev)  # (B, 4, n, D)
+    wires_dev = _unshard(phase1(wire_evals_dev), mesh)  # (B, 4, n, D)
     if params.zk:
         # the host aggregate prover draws instance-major: per composer,
         # 4 wires x zkw coefficients from ONE shared stream
@@ -710,12 +743,13 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None):
     gamma = tr.challenge()
 
     ones = lambda v: jnp.asarray(ints_to_digits([v] * b, shape=(b,)))
-    z_dev = prover_tpu._phase2_grand_product(
+    z_dev = phase2(
         wire_evals_dev, ones(beta), ones(gamma),
         jnp.asarray(tables_n["ids_mont"]),
         jnp.asarray(tables_n["sigma_n_mont"]),
         jnp.asarray(tables_n["one_mont"]),
     )  # (B, n, D)
+    z_dev = _unshard(z_dev, mesh)
     if params.zk:
         r_z = ints_to_digits(
             [rand_field() for _ in range(b * bounds["zkz"])],
@@ -730,7 +764,7 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None):
     alpha = tr.challenge()
 
     pi_dev = jnp.asarray(ints_to_digits(pi_cols, shape=(b, n)))
-    t_dev = prover_tpu._phase3_quotient(
+    t_dev = phase3(
         wires_dev, z_dev, pi_dev, ones(beta), ones(gamma), ones(alpha),
         jnp.asarray(tables_m["kx_mont"]),
         jnp.asarray(tables_m["sigma_m_mont"]),
@@ -740,6 +774,7 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None):
         jnp.asarray(tables_m["omega_mont"]),
         jnp.asarray(tables_n["one_mont"]),
     )  # (B, d_bound, D)
+    t_dev = _unshard(t_dev, mesh)
     t_l0 = _coset_eval_dev(t_dev, m0)
     t_levels = _build_levels(block_leaves(t_l0[None]))
     levels["t"] = [lv[0] for lv in t_levels]

@@ -154,3 +154,43 @@ def test_prove_batched_sharded_matches_single(mesh8):
         assert s.commitments == u.commitments
     with pytest.raises(ValueError, match="not divisible"):
         prover_tpu.prove_batched(composers[:3], key, mesh=mesh8)
+
+
+def test_succinct_aggregate_sharded_matches_single(mesh8):
+    # multi-chip succinct proving: the polynomial phases shard over the
+    # instance axis (fri_tpu._select_phases); the aggregate emitted with
+    # a mesh must be bit-identical to the unsharded device prover's
+    # (itself bit-identical to the host prover, tests/test_fri_tpu.py)
+    import jax
+
+    from hades252_tpu import aggregate, fri, fri_tpu
+    from hades252_tpu.gadget import Composer, Constraint
+
+    jax.clear_caches()
+
+    def instance(v1, v2):
+        c = Composer()
+        a = c.append_witness(v1)
+        b = c.append_witness(v2)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+        c.gate_add(
+            Constraint().left(1).a(a).right(1).b(b).public(-((v1 + v2) % P))
+        )
+        return c
+
+    composers = [instance(3 + i, 5 + i) for i in range(8)]
+    params = fri.FriParams(blowup=4, n_queries=2, final_degree=8)
+    pk, vk = fri.preprocess_succinct(composers[0], params)
+    sharded = fri_tpu.prove_aggregate_device(composers, pk, mesh=mesh8)
+    single = fri_tpu.prove_aggregate_device(composers, pk)
+    assert sharded.roots == single.roots
+    assert sharded.evals == single.evals
+    assert sharded.fri.layer_roots == single.fri.layer_roots
+    assert sharded.fri.final_coeffs == single.fri.final_coeffs
+    assert sharded.open_values == single.open_values
+    pis = [[g.pi for g in c.gates] for c in composers]
+    assert aggregate.verify_aggregate(vk, sharded, pis)
+    with pytest.raises(ValueError, match="not divisible"):
+        fri_tpu.prove_aggregate_device(composers[:3], pk, mesh=mesh8)
+    with pytest.raises(ValueError, match="not divisible"):
+        fri_tpu.prove_succinct_device_batch(composers[:3], pk, mesh=mesh8)
