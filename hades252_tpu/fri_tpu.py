@@ -36,6 +36,12 @@ On non-TPU backends the tree hashing falls back to the host path
 (fri.tree_build_digits with the native/emulated permutation) while the
 polynomial phases still run through the traced JAX ops — which is what
 the CPU tests exercise.
+
+Two prover entry shapes: prove_succinct_device_batch emits B independent
+SuccinctProofs (per-instance transcripts), prove_aggregate_device emits
+ONE AggregateProof for B instances (shared transcript, block trees, one
+DEEP-FRI — aggregate.py's argument). Both accept mesh= to shard the
+polynomial phases over instances (multi-chip data parallelism).
 """
 
 from __future__ import annotations
