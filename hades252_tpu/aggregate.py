@@ -116,6 +116,28 @@ class AggregateProof:
     key_open_poss: dict    # key name -> (2Q, h0)
 
 
+def aggregate_security_bits(params, n: int = 1024,
+                            n_instances: int = 1) -> float:
+    """Conservative soundness estimate for an aggregate of n_instances.
+
+    The FRI query soundness is UNCHANGED from a single proof (one
+    composition, the same spot checks): n_queries * log2(blowup) bits.
+    What aggregation costs is the Schwartz-Zippel union bound: the B
+    instances' zeta identities (and the B*7+10-term DEEP batching) share
+    one challenge draw, so the field-side error grows linearly in B —
+    i.e. the ~240-bit field term loses log2(B) bits. For every practical
+    B the minimum is still the query term, so
+    aggregate_security_bits == FriParams.security_bits; the function
+    exists to make that argument checkable rather than implicit."""
+    import math
+
+    query_bits = params.n_queries * math.log2(params.blowup)
+    field_bits = math.log2(
+        P / (5 * max(n, 2) * max(n_instances, 1))
+    )
+    return min(query_bits, field_bits)
+
+
 def aggregate_size_field_elements(proof: AggregateProof) -> int:
     """Proof size in field elements, same accounting rules as
     fri.proof_size_field_elements."""

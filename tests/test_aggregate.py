@@ -180,3 +180,19 @@ def test_aggregate_zk_roundtrip():
     lo0 = [pair[0][0] for pair in p2.open_values["a"]]
     lo1 = [pair[0][1] for pair in p2.open_values["a"]]
     assert lo0 != lo1
+
+
+def test_aggregate_security_bits():
+    # the union bound over instances only touches the (never-binding)
+    # field term: production parameters keep the full query soundness
+    prod = fri.FriParams()
+    assert aggregate.aggregate_security_bits(prod, 1024, 1) == \
+        prod.security_bits(1024)
+    assert aggregate.aggregate_security_bits(prod, 1024, 1 << 20) == \
+        prod.security_bits(1024)  # still query-bound at B = 1M
+    # the field term does decrease by ~log2(B)
+    import math
+
+    f1 = math.log2(fri.P / (5 * 1024))
+    fB = math.log2(fri.P / (5 * 1024 * 256))
+    assert abs((f1 - fB) - 8) < 1e-9
