@@ -107,6 +107,22 @@ print("wire roundtrip verifies:",
       fri.verify_succinct(vk2, sp2, [g.pi for g in tiny.gates]),
       f"({len(wire_sp)} proof bytes, {len(wire_vk)} key bytes)")
 
+# --- in-circuit gadgets: prove statements ABOUT the models --------------------
+# every model family has an in-circuit counterpart (circuits.py): here,
+# prove knowledge of a leaf at a public index under a public Merkle root
+# (the composability the reference's GadgetStrategy exists for).
+from hades252_tpu import circuits
+
+small = jnp.asarray(ints_to_digits(list(range(100, 116)), shape=(16,)))
+small_levels = merkle_levels(small)
+leaf, groups, positions, mroot = circuits.merkle_path_ints(small_levels, 9)
+mc = circuits.merkle_membership_circuit(leaf, groups, positions, mroot,
+                                        index=9)
+mkey = plonk.preprocess(mc)
+mproof = plonk.prove(mc, mkey)
+print(f"merkle membership circuit ({len(mc)} gates, n={mkey.n}) verifies:",
+      plonk.verify(mkey, mproof, circuits.public_input_column(mc)))
+
 # --- aggregated proofs: ONE argument for B same-circuit instances -------------
 # block Merkle commitments share every path + the whole FRI argument, so
 # the marginal instance carries only claimed evals and opened leaf values;

@@ -22,6 +22,11 @@ Public API parity with the reference crate root (reference: src/lib.rs:20-31):
                                                 (shared paths + FRI)
   serialize (module)                          — byte wire formats for
                                                 proofs / aggregates / keys
+  circuits (module)                           — in-circuit gadget library:
+                                                sponge hash, arity-4 Merkle
+                                                membership, and duplex-cipher
+                                                gadgets + complete provable
+                                                circuits for each model family
 """
 
 from .params import (  # noqa: F401
