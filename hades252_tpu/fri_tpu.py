@@ -67,7 +67,7 @@ from .fri import (
     _tree_height,
 )
 from .params import N_DIGITS, P, R
-from .plonk import Transcript, _domain_root, poly_eval, statement_digest
+from .plonk import Transcript, _domain_root, statement_digest
 from .utils.encoding import digits_to_ints, ints_to_digits
 
 # ---------------------------------------------------------------------------
@@ -146,28 +146,40 @@ def _coset_eval_dev(coeffs: jnp.ndarray, m0: int) -> jnp.ndarray:
     return ntt.coset_eval_batched(jnp.pad(coeffs, width), G0)
 
 
+def _tree_levels_body(level: jnp.ndarray, perm_fn) -> tuple:
+    """All arity-4 tree levels from (B, N, D) padded leaves (N a power of
+    4), node rule identical to fri.tree_build: every level is one batched
+    permutation over all B rows' nodes. One traceable body, so the whole
+    build compiles to ONE device executable — through a relay the
+    per-level launch round trips, not the hashing, dominated the prover
+    (PERF.md); they also shrink the launch count on directly-attached
+    chips."""
+    levels = [level]
+    while level.shape[1] > 1:
+        b, n = level.shape[0], level.shape[1]
+        k = n // ARITY
+        children = level.reshape(b * k, ARITY, N_DIGITS)
+        tag = jnp.broadcast_to(jnp.asarray(fri._tag_digits()),
+                               (b * k, 1, N_DIGITS))
+        states = jnp.concatenate([tag, children], axis=1)
+        level = perm_fn(states)[:, DIGEST_INDEX, :].reshape(b, k, N_DIGITS)
+        levels.append(level)
+    return tuple(levels)
+
+
 @jax.jit
-def _level_up_dev(level: jnp.ndarray) -> jnp.ndarray:
-    """One PCS-tree level on device for all instances at once:
-    (B, N, D) -> (B, N/4, D) parent digests via ONE fused-kernel call
-    (node rule identical to fri.tree_build)."""
+def _tree_levels_dev(level: jnp.ndarray) -> tuple:
     from .ops.perm_pallas import permute_pallas
 
-    b, n = level.shape[0], level.shape[1]
-    k = n // ARITY
-    children = level.reshape(b * k, ARITY, N_DIGITS)
-    tag = jnp.broadcast_to(jnp.asarray(fri._tag_digits()),
-                           (b * k, 1, N_DIGITS))
-    states = jnp.concatenate([tag, children], axis=1)
-    out = permute_pallas(states)[:, DIGEST_INDEX, :]
-    return out.reshape(b, k, N_DIGITS)
+    return _tree_levels_body(level, permute_pallas)
 
 
 def _build_levels(leaves) -> list:
     """All tree levels for a (B, N, D) digit leaf batch. On TPU the
-    levels stay device-resident; elsewhere the host path (native/emulated
-    perm) builds them per instance — digests are bit-identical either way
-    (KAT gates)."""
+    levels stay device-resident and the whole build is a single fused
+    executable (_tree_levels_dev); elsewhere the host path (native/
+    emulated perm) builds them per instance — digests are bit-identical
+    either way (KAT gates)."""
     if jax.default_backend() != "tpu":
         host = [
             fri.tree_build_digits(np.asarray(leaves[i]),
@@ -179,11 +191,7 @@ def _build_levels(leaves) -> list:
     b, n = leaves.shape[0], leaves.shape[1]
     full = ARITY ** _tree_height(n)
     level = jnp.pad(jnp.asarray(leaves), ((0, 0), (0, full - n), (0, 0)))
-    levels = [level]
-    while level.shape[1] > 1:
-        level = _level_up_dev(level)
-        levels.append(level)
-    return levels
+    return list(_tree_levels_dev(level))
 
 
 def _root_ints(levels) -> list:
@@ -191,33 +199,167 @@ def _root_ints(levels) -> list:
     return [int(v) for v in digits_to_ints(np.asarray(levels[-1])[:, 0])]
 
 
+@jax.jit
+def _open_all_dev(levels: tuple, idx: jnp.ndarray):
+    """Compact batched openings for every instance, entirely in-trace:
+    levels a tuple of (B, N_lvl, D) arrays, idx (B, K) int32. Returns
+    (sibs (B, K, h, 3, D), poss (B, K, h)) — per instance bit-identical
+    to fri.tree_open_batched. ONE executable + one fetch per tree instead
+    of a gather launch per level plus a host sibling-packing loop."""
+    b, k = idx.shape
+    sibs_lvls, poss_lvls = [], []
+    cur = idx
+    for lvl in range(len(levels) - 1):
+        g = cur // ARITY
+        pos = cur % ARITY
+        grouped = levels[lvl].reshape(b, -1, ARITY, N_DIGITS)
+        groups = jnp.take_along_axis(
+            grouped, g[:, :, None, None], axis=1
+        )  # (B, K, 4, D)
+        cols = []
+        for j in range(ARITY - 1):
+            # sibling slot j holds group child j, skipping the node's pos
+            src = jnp.where(j >= pos, j + 1, j)  # (B, K)
+            cols.append(jnp.take_along_axis(
+                groups, src[:, :, None, None], axis=2
+            )[:, :, 0])
+        sibs_lvls.append(jnp.stack(cols, axis=2))  # (B, K, 3, D)
+        poss_lvls.append(pos)
+        cur = g
+    return (jnp.stack(sibs_lvls, axis=2),
+            jnp.stack(poss_lvls, axis=2).astype(jnp.int32))
+
+
 def _open_batched_dev(levels, indices_b: np.ndarray):
     """Compact batched openings for every instance — per instance
     bit-identical to fri.tree_open_batched. indices_b: (B, K). Returns
-    (sibs (B, K, h, 3, D), poss (B, K, h)) with one gather per level."""
-    idx = np.asarray(indices_b, np.int64)
-    b, k = idx.shape
-    h = len(levels) - 1
-    sibs = np.empty((b, k, h, ARITY - 1, N_DIGITS), np.uint32)
-    poss = np.empty((b, k, h), np.int32)
-    cur = idx.copy()
-    for lvl in range(h):
-        g = cur // ARITY
-        pos = cur % ARITY
-        arr = jnp.asarray(levels[lvl])
-        grouped = arr.reshape(b, -1, ARITY, N_DIGITS)
-        groups = np.asarray(jnp.take_along_axis(
-            grouped, jnp.asarray(g)[:, :, None, None], axis=1
-        ))  # (B, K, 4, D)
-        for bi in range(b):
-            for ki in range(k):
-                p = int(pos[bi, ki])
-                sibs[bi, ki, lvl] = np.concatenate(
-                    [groups[bi, ki, :p], groups[bi, ki, p + 1 :]], axis=0
+    host (sibs (B, K, h, 3, D), poss (B, K, h)) from one device call."""
+    idx = np.asarray(indices_b, np.int32)
+    if len(levels) == 1:  # height-0 tree: nothing to open
+        b, k = idx.shape
+        return (np.empty((b, k, 0, ARITY - 1, N_DIGITS), np.uint32),
+                np.empty((b, k, 0), np.int32))
+    sibs, poss = _open_all_dev(
+        tuple(jnp.asarray(lv) for lv in levels), jnp.asarray(idx)
+    )
+    return np.asarray(sibs), np.asarray(poss)
+
+
+@jax.jit
+def _eval_rows_dev(polys: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate R polynomials per instance at per-row points, on device:
+    polys (B, R, L, D) canonical coefficient digits (zero-padded on the
+    coefficient axis), pts (B, R, D) canonical points. Returns (B, R, D)
+    canonical values — exactly poly_eval(coeffs, point) per row (Montgomery
+    ops are exact mod p). Power table by doubling (log L mont_muls), then
+    one product + a log-depth modular-add reduction."""
+    b, r, ln, _ = polys.shape
+    from .params import perm_constants_np
+
+    one = jnp.asarray(perm_constants_np()["one"])
+    ptm = field.to_mont(pts)
+    pows = field.to_mont(jnp.broadcast_to(one, (b, r, 1, N_DIGITS)))
+    while pows.shape[2] < ln:
+        m = pows.shape[2]
+        xk = field.mont_mul(pows[:, :, m - 1 : m], ptm[:, :, None])
+        pows = jnp.concatenate(
+            [pows, field.mont_mul(pows, jnp.broadcast_to(xk, pows.shape))],
+            axis=2,
+        )
+    terms = field.mont_mul(pows[:, :, :ln], polys)  # x^i * c_i, canonical
+    while terms.shape[2] > 1:
+        m = terms.shape[2]
+        if m % 2:
+            terms = jnp.pad(terms, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            m += 1
+        terms = field.add_mod(terms[:, :, : m // 2], terms[:, :, m // 2 :])
+    return terms[:, :, 0]
+
+
+def _key_coeff_digits(pk: ProvingKey) -> np.ndarray:
+    """(10, n, D) canonical coefficient digits of the selector + sigma
+    polynomials, cached per circuit digest."""
+    cached = _KEY_COEFF_CACHE.get(pk.digest)
+    if cached is not None:
+        return cached
+    key = pk.key
+    rows = [key.selectors[name] for name in SELECTOR_NAMES]
+    rows += [key.sigmas[j] for j in range(len(SIGMA_NAMES))]
+    out = ints_to_digits(
+        [v % P for row in rows for v in row], shape=(len(rows), key.n)
+    )
+    _KEY_COEFF_CACHE[pk.digest] = out
+    return out
+
+
+_KEY_COEFF_CACHE: dict = {}
+
+
+def _claimed_eval_ints(wires_dev, z_dev, t_dev, pk: ProvingKey,
+                       zetas: list, omega: int):
+    """All claimed evaluations for B instances in ONE device call + ONE
+    small fetch: per instance the rows a, b, o, d, z @ zeta_i, z @
+    omega*zeta_i, t @ zeta_i, then the 10 key polynomials @ zeta_i.
+    Returns an object array (B, 17) of canonical ints, bit-identical to
+    host Horner (plonk.poly_eval) per entry. Replaces fetching the full
+    coefficient arrays (the ~0.6 MB slow-path transfer, PERF.md) plus
+    B x 17 host big-int Horner passes.
+
+    On non-TPU backends the host Horner path runs instead (same values;
+    the device evaluator's bit-identity is pinned by its own unit test) —
+    XLA:CPU's compile of the scan-heavy Montgomery graphs costs far more
+    than it saves there, exactly like the _build_levels tree fallback."""
+    b = wires_dev.shape[0]
+    if jax.default_backend() != "tpu":
+        from .plonk import poly_eval
+
+        key = pk.key
+        wires_np, z_np, t_np = (np.asarray(wires_dev), np.asarray(z_dev),
+                                np.asarray(t_dev))
+        out = np.empty((b, 17), dtype=object)
+        key_cache = {}
+        for i in range(b):
+            z_ = zetas[i]
+            for j in range(4):
+                out[i, j] = poly_eval(_ints_row(wires_np[i, j]), z_)
+            out[i, 4] = poly_eval(_ints_row(z_np[i]), z_)
+            out[i, 5] = poly_eval(_ints_row(z_np[i]), z_ * omega % P)
+            out[i, 6] = poly_eval(_ints_row(t_np[i]), z_)
+            if z_ not in key_cache:
+                key_cache[z_] = (
+                    [poly_eval(key.selectors[nm], z_)
+                     for nm in SELECTOR_NAMES]
+                    + [poly_eval(key.sigmas[j_], z_)
+                       for j_ in range(len(SIGMA_NAMES))]
                 )
-        poss[:, :, lvl] = pos
-        cur = g
-    return sibs, poss
+            out[i, 7:] = key_cache[z_]
+        return out
+    key_tab = jnp.asarray(_key_coeff_digits(pk))
+    ln = max(wires_dev.shape[2], z_dev.shape[1], t_dev.shape[1],
+             key_tab.shape[1])
+
+    def pad_l(x):
+        width = [(0, 0)] * (x.ndim - 2) + [(0, ln - x.shape[-2]), (0, 0)]
+        return jnp.pad(x, width)
+
+    rows = jnp.concatenate(
+        [
+            pad_l(wires_dev),                       # a b o d @ zeta
+            pad_l(z_dev[:, None]),                  # z  @ zeta
+            pad_l(z_dev[:, None]),                  # z  @ omega*zeta
+            pad_l(t_dev[:, None]),                  # t  @ zeta
+            jnp.broadcast_to(
+                pad_l(key_tab)[None],
+                (b, key_tab.shape[0], ln, N_DIGITS),
+            ),
+        ],
+        axis=1,
+    )  # (B, 17, ln, D)
+    pts_int = [
+        [z_] * 5 + [z_ * omega % P] + [z_] * 11 for z_ in zetas
+    ]
+    pts = jnp.asarray(ints_to_digits(pts_int, shape=(b, rows.shape[1])))
+    return digits_to_ints(np.asarray(_eval_rows_dev(rows, pts)))
 
 
 @jax.jit
@@ -390,11 +532,19 @@ def prove_succinct_device_batch(composers, pk: ProvingKey,
         trs.append(tr)
 
     wires_l0 = _coset_eval_dev(wires_dev, m0)             # (B, 4, m0, D)
+    # one fused build + ONE root fetch for all four wire trees: rows are
+    # name-major ((4, B, m0, D) flattened) so each name is a contiguous
+    # slice of every level
+    abod_rows = jnp.transpose(wires_l0, (1, 0, 2, 3)).reshape(
+        4 * b, m0, N_DIGITS
+    )
+    abod_levels = _build_levels(abod_rows)
+    abod_roots = _root_ints(abod_levels)
     levels = {}
     roots = {}
     for j, name in enumerate("abod"):
-        levels[name] = _build_levels(wires_l0[:, j])
-        roots[name] = _root_ints(levels[name])
+        levels[name] = [lv[j * b : (j + 1) * b] for lv in abod_levels]
+        roots[name] = abod_roots[j * b : (j + 1) * b]
         for i in range(b):
             trs[i].absorb(roots[name][i])
     betas = [tr.challenge() for tr in trs]
@@ -443,26 +593,13 @@ def prove_succinct_device_batch(composers, pk: ProvingKey,
         trs[i].absorb(roots["t"][i])
     zetas = [tr.challenge() for tr in trs]
 
-    # --- claimed evaluations (small fetches + host Horner) ----------------
-    wires_np = np.asarray(wires_dev)
-    z_np = np.asarray(z_dev)
-    t_np = np.asarray(t_dev)
+    # --- claimed evaluations: one device call + one small fetch -----------
+    row_names = (["a", "b", "o", "d", "z", "zw", "t"]
+                 + list(SELECTOR_NAMES) + list(SIGMA_NAMES))
+    vals = _claimed_eval_ints(wires_dev, z_dev, t_dev, pk, zetas, omega)
     evals_all = []
     for i in range(b):
-        zeta = zetas[i]
-        ev = {
-            "a": poly_eval(_ints_row(wires_np[i, 0]), zeta),
-            "b": poly_eval(_ints_row(wires_np[i, 1]), zeta),
-            "o": poly_eval(_ints_row(wires_np[i, 2]), zeta),
-            "d": poly_eval(_ints_row(wires_np[i, 3]), zeta),
-            "z": poly_eval(_ints_row(z_np[i]), zeta),
-            "zw": poly_eval(_ints_row(z_np[i]), zeta * omega % P),
-            "t": poly_eval(_ints_row(t_np[i]), zeta),
-        }
-        for name in SELECTOR_NAMES:
-            ev[name] = poly_eval(key.selectors[name], zeta)
-        for j, name in enumerate(SIGMA_NAMES):
-            ev[name] = poly_eval(key.sigmas[j], zeta)
+        ev = {name: int(vals[i, j]) for j, name in enumerate(row_names)}
         trs[i].absorb(*[ev[name] for name in EVAL_ORDER])
         evals_all.append(ev)
     gdeeps = [tr.challenge() for tr in trs]
@@ -788,26 +925,20 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None,
     tr.absorb(roots["t"])
     zeta = tr.challenge()
 
-    # --- claimed evaluations (host Horner on fetched coefficients) --------
-    wires_np = np.asarray(wires_dev)
-    z_np = np.asarray(z_dev)
-    t_np = np.asarray(t_dev)
-    evals = []
-    for i in range(b):
-        evals.append({
-            "a": poly_eval(_ints_row(wires_np[i, 0]), zeta),
-            "b": poly_eval(_ints_row(wires_np[i, 1]), zeta),
-            "o": poly_eval(_ints_row(wires_np[i, 2]), zeta),
-            "d": poly_eval(_ints_row(wires_np[i, 3]), zeta),
-            "z": poly_eval(_ints_row(z_np[i]), zeta),
-            "zw": poly_eval(_ints_row(z_np[i]), zeta * omega % P),
-            "t": poly_eval(_ints_row(t_np[i]), zeta),
-        })
-    key_evals = {}
-    for name in SELECTOR_NAMES:
-        key_evals[name] = poly_eval(key.selectors[name], zeta)
-    for j, name in enumerate(SIGMA_NAMES):
-        key_evals[name] = poly_eval(key.sigmas[j], zeta)
+    # --- claimed evaluations: one device call + one small fetch -----------
+    # same 17-row executable as the batch prover (key rows shared, read
+    # once from instance 0)
+    vals = _claimed_eval_ints(wires_dev, z_dev, t_dev, pk,
+                              [zeta] * b, omega)
+    wire_rows = ["a", "b", "o", "d", "z", "zw", "t"]
+    evals = [
+        {name: int(vals[i, j]) for j, name in enumerate(wire_rows)}
+        for i in range(b)
+    ]
+    key_evals = {
+        name: int(vals[0, len(wire_rows) + j])
+        for j, name in enumerate(SELECTOR_NAMES + SIGMA_NAMES)
+    }
     for e in evals:
         tr.absorb(*[e[name] for name in WIRE_EVAL_ORDER])
     tr.absorb(*[key_evals[name] for name in KEY_EVAL_ORDER])

@@ -146,3 +146,77 @@ def test_device_aggregate_rejects_mixed_circuits():
     pk, _ = fri.preprocess_succinct(c1, params)
     with pytest.raises(ValueError, match="circuit structure"):
         fri_tpu.prove_aggregate_device([c1, c2], pk)
+
+
+# -- fused device internals (round-3 launch-count reduction) ------------------
+# Through the axon relay every device call pays a round trip; the tree
+# build, the openings, and the claimed evaluations are each ONE executable
+# now (PERF.md). These tests pin the internals' bit-identity to the host
+# reference paths on CPU (the fused tree body runs with the host perm —
+# the same code object the TPU executable traces with permute_pallas).
+
+
+def test_tree_levels_body_matches_host(rng):
+    leaves_int = [int.from_bytes(rng.bytes(40), "little") % fri.P
+                  for _ in range(2 * 16)]
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    leaves = ints_to_digits(leaves_int, shape=(2, 16))
+    perm = fri.default_pcs_perm()
+
+    def perm_rows(states):
+        return np.asarray(perm(np.asarray(states, np.uint32)))
+
+    fused = fri_tpu._tree_levels_body(np.asarray(leaves), perm_rows)
+    for i in range(2):
+        host = fri.tree_build_digits(np.asarray(leaves[i]), perm)
+        assert len(fused) == len(host)
+        for lvl_f, lvl_h in zip(fused, host):
+            assert np.array_equal(np.asarray(lvl_f[i]), lvl_h)
+
+
+def test_open_batched_dev_matches_host(rng):
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    leaves_int = [int.from_bytes(rng.bytes(40), "little") % fri.P
+                  for _ in range(2 * 16)]
+    leaves = ints_to_digits(leaves_int, shape=(2, 16))
+    perm = fri.default_pcs_perm()
+    host_levels = [fri.tree_build_digits(np.asarray(leaves[i]), perm)
+                   for i in range(2)]
+    stacked = [np.stack([host_levels[0][l], host_levels[1][l]])
+               for l in range(len(host_levels[0]))]
+    idx = np.asarray([[3, 7, 7], [0, 15, 2]])
+    sibs, poss = fri_tpu._open_batched_dev(stacked, idx)
+    for i in range(2):
+        ref_sibs, ref_poss = fri.tree_open_batched(
+            host_levels[i], list(idx[i])
+        )
+        assert np.array_equal(sibs[i], np.asarray(ref_sibs))
+        assert np.array_equal(poss[i], np.asarray(ref_poss))
+
+
+def test_eval_rows_dev_matches_poly_eval(rng):
+    from hades252_tpu import plonk
+    from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+
+    b, r, ln = 2, 3, 13  # odd length exercises the reduction padding
+    coeffs = [[[int.from_bytes(rng.bytes(40), "little") % fri.P
+                for _ in range(ln)] for _ in range(r)] for _ in range(b)]
+    pts = [[int.from_bytes(rng.bytes(40), "little") % fri.P
+            for _ in range(r)] for _ in range(b)]
+    vals = fri_tpu._eval_rows_dev(
+        jnp_asarray(ints_to_digits(coeffs, shape=(b, r, ln))),
+        jnp_asarray(ints_to_digits(pts, shape=(b, r))),
+    )
+    got = digits_to_ints(np.asarray(vals))
+    for i in range(b):
+        for j in range(r):
+            assert int(got[i, j]) == plonk.poly_eval(coeffs[i][j],
+                                                     pts[i][j])
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
