@@ -146,14 +146,24 @@ def _coset_eval_dev(coeffs: jnp.ndarray, m0: int) -> jnp.ndarray:
     return ntt.coset_eval_batched(jnp.pad(coeffs, width), G0)
 
 
-def _tree_levels_body(level: jnp.ndarray, perm_fn) -> tuple:
+def _tree_levels_body(level: jnp.ndarray, perm_fn, pad_to: int = 1) -> tuple:
     """All arity-4 tree levels from (B, N, D) padded leaves (N a power of
     4), node rule identical to fri.tree_build: every level is one batched
     permutation over all B rows' nodes. One traceable body, so the whole
     build compiles to ONE device executable — through a relay the
     per-level launch round trips, not the hashing, dominated the prover
     (PERF.md); they also shrink the launch count on directly-attached
-    chips."""
+    chips.
+
+    pad_to: pad every level's permutation batch up to a multiple of this
+    (padding rows are zeros, sliced off after the perm — digests
+    unchanged). The device path passes the kernel's canonical block so
+    EVERY call site in every tree executable uses the one (block, shape)
+    kernel variant: sub-block levels would otherwise each compile their
+    own small-block Mosaic kernel (the slowest compiles on record,
+    CLAUDE.md) per tree shape, since fusing levels into one executable
+    forfeits the cross-tree executable sharing the per-level path had.
+    The padded hashing itself is microseconds per level."""
     levels = [level]
     while level.shape[1] > 1:
         b, n = level.shape[0], level.shape[1]
@@ -162,16 +172,21 @@ def _tree_levels_body(level: jnp.ndarray, perm_fn) -> tuple:
         tag = jnp.broadcast_to(jnp.asarray(fri._tag_digits()),
                                (b * k, 1, N_DIGITS))
         states = jnp.concatenate([tag, children], axis=1)
-        level = perm_fn(states)[:, DIGEST_INDEX, :].reshape(b, k, N_DIGITS)
+        pad = (-(b * k)) % pad_to
+        if pad:
+            states = jnp.pad(states, ((0, pad), (0, 0), (0, 0)))
+        out = perm_fn(states)[: b * k, DIGEST_INDEX, :]
+        level = out.reshape(b, k, N_DIGITS)
         levels.append(level)
     return tuple(levels)
 
 
 @jax.jit
 def _tree_levels_dev(level: jnp.ndarray) -> tuple:
-    from .ops.perm_pallas import permute_pallas
+    from .ops.perm_pallas import default_block, permute_pallas
 
-    return _tree_levels_body(level, permute_pallas)
+    return _tree_levels_body(level, permute_pallas,
+                             pad_to=default_block())
 
 
 def _build_levels(leaves) -> list:

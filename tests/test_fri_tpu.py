@@ -167,12 +167,17 @@ def test_tree_levels_body_matches_host(rng):
     def perm_rows(states):
         return np.asarray(perm(np.asarray(states, np.uint32)))
 
-    fused = fri_tpu._tree_levels_body(np.asarray(leaves), perm_rows)
-    for i in range(2):
-        host = fri.tree_build_digits(np.asarray(leaves[i]), perm)
-        assert len(fused) == len(host)
-        for lvl_f, lvl_h in zip(fused, host):
-            assert np.array_equal(np.asarray(lvl_f[i]), lvl_h)
+    host = [fri.tree_build_digits(np.asarray(leaves[i]), perm)
+            for i in range(2)]
+    # pad_to=8 exercises the canonical-block padding (levels with 8 and 2
+    # nodes pad to 8); pad_to=1 is the unpadded body — digests identical
+    for pad_to in (1, 8):
+        fused = fri_tpu._tree_levels_body(np.asarray(leaves), perm_rows,
+                                          pad_to=pad_to)
+        for i in range(2):
+            assert len(fused) == len(host[i])
+            for lvl_f, lvl_h in zip(fused, host[i]):
+                assert np.array_equal(np.asarray(lvl_f[i]), lvl_h)
 
 
 def test_open_batched_dev_matches_host(rng):
