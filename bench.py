@@ -551,22 +551,21 @@ def main_verify():
         "verdict_gate": "passed",
     }
     if jax.default_backend() == "tpu":
-        from hades252_tpu.ops.perm_pallas import permute_pallas
+        # fused device verifier: each pooled height group's whole opening
+        # chain is ONE executable (fri_tpu._chain_nodes_dev) instead of
+        # one relay round trip per level
+        from hades252_tpu import fri_tpu
 
-        rows = bsz * (len(proof.roots) + len(vk.roots)) * 2 * params.n_queries
-        dev_perm = fri.padded_perm_fn(
-            lambda s: permute_pallas(s), rows
-        )
-        verd_dev = fri.verify_succinct_batched(vk, proofs, pis, dev_perm)
+        verd_dev = fri_tpu.verify_succinct_device_batch(vk, proofs, pis)
         if not bool(np.all(verd_dev)):
             raise RuntimeError(
                 "device-pooled verifier verdicts deviate from the host "
                 "path — refusing to report"
             )
         t0 = time.perf_counter()
-        fri.verify_succinct_batched(vk, proofs, pis, dev_perm)
+        fri_tpu.verify_succinct_device_batch(vk, proofs, pis)
         dev_secs = time.perf_counter() - t0
-        out["sec_per_batch_device_pooled"] = round(dev_secs, 3)
+        out["sec_per_batch_device_fused"] = round(dev_secs, 3)
         out["device_verifications_per_sec"] = round(bsz / dev_secs, 2)
         if dev_secs < host_secs:
             out["value"] = round(bsz / dev_secs, 2)

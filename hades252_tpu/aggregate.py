@@ -336,11 +336,14 @@ def prove_aggregate(composers, pk: ProvingKey, perm_fn=None,
 
 
 def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
-                     public_inputs_list, perm_fn=None) -> bool:
+                     public_inputs_list, perm_fn=None,
+                     chain_fn=None) -> bool:
     """Check the aggregated argument against the SAME VerifyingKey that
     verifies single succinct proofs. All-or-nothing: every instance's
     zeta identity, every pooled Merkle opening, and the shared fold
-    checks must hold."""
+    checks must hold. chain_fn fuses every opening chain into one call
+    (see fri._tree_verify_nodes; fri_tpu.verify_aggregate_device passes
+    the fused device chain)."""
     if perm_fn is None:
         perm_fn = default_pcs_perm()
     n, omega, params = vk.n, vk.omega, vk.params
@@ -454,7 +457,7 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
                   for pair in proof.open_values[name] for h in range(2)]
         ok = tree_verify_blocks(
             proof.roots[name], blocks, proof.open_sibs[name],
-            proof.open_poss[name], h_pos, idx0, perm_fn,
+            proof.open_poss[name], h_pos, idx0, perm_fn, chain_fn,
         )
         if not bool(np.all(ok)):
             return False
@@ -463,7 +466,7 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
                 for v in pair]
         ok = tree_verify_batched(
             root, flat, proof.key_open_sibs[name],
-            proof.key_open_poss[name], h0, idx0, perm_fn,
+            proof.key_open_poss[name], h0, idx0, perm_fn, chain_fn,
         )
         if not bool(np.all(ok)):
             return False
@@ -480,7 +483,7 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
         ok = tree_verify_batched(
             proof.fri.layer_roots[k - 1], flat,
             proof.fri.layer_sibs[k - 1], proof.fri.layer_poss[k - 1],
-            layer_heights[k - 1], idx, perm_fn,
+            layer_heights[k - 1], idx, perm_fn, chain_fn,
         )
         if not bool(np.all(ok)):
             return False

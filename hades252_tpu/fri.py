@@ -245,10 +245,16 @@ def poss_to_indices(poss) -> np.ndarray:
 
 
 def _tree_verify_nodes(root, node: np.ndarray, sibs, poss, height: int,
-                       expected_indices, perm_fn) -> np.ndarray:
+                       expected_indices, perm_fn, chain_fn=None) -> np.ndarray:
     """Core of tree_verify_batched on pre-digested nodes: node is
     (K, N_DIGITS) canonical digits of the starting level's entries (leaf
-    values, or block-subtree roots for block openings)."""
+    values, or block-subtree roots for block openings).
+
+    chain_fn, if given, replaces the per-level perm_fn loop: it receives
+    (node, sibs, poss) and must return the final (K, N_DIGITS) root-level
+    digests, bit-identical to the loop (fri_tpu supplies a fused device
+    chain that runs all levels in ONE executable — through a relay the
+    per-level round trips dominate batched verification)."""
     k = node.shape[0]
     sibs = np.asarray(sibs)
     poss = np.asarray(poss)
@@ -259,13 +265,16 @@ def _tree_verify_nodes(root, node: np.ndarray, sibs, poss, height: int,
         return np.zeros(k, bool)
     pos_ok = np.all((poss >= 0) & (poss < ARITY), axis=1)
     idx_ok = poss_to_indices(poss) == np.asarray(expected_indices, np.int64)
-    tag = np.broadcast_to(_tag_digits(), (k, 1, N_DIGITS))
-    for lvl in range(height):
-        children = _insert_at(node, sibs[:, lvl], poss[:, lvl])
-        states = np.concatenate([tag, children], axis=1).astype(np.uint32)
-        node = np.asarray(perm_fn(states))[:, DIGEST_INDEX, :].astype(
-            np.uint32
-        )
+    if chain_fn is not None and height > 0:
+        node = np.asarray(chain_fn(node, sibs, poss), np.uint32)
+    else:
+        tag = np.broadcast_to(_tag_digits(), (k, 1, N_DIGITS))
+        for lvl in range(height):
+            children = _insert_at(node, sibs[:, lvl], poss[:, lvl])
+            states = np.concatenate([tag, children], axis=1).astype(np.uint32)
+            node = np.asarray(perm_fn(states))[:, DIGEST_INDEX, :].astype(
+                np.uint32
+            )
     if isinstance(root, (int, np.integer)):
         root_digits = ints_to_digits([int(root)], shape=(1,))[0][None]
     else:
@@ -277,7 +286,7 @@ def _tree_verify_nodes(root, node: np.ndarray, sibs, poss, height: int,
 
 
 def tree_verify_batched(root, values, sibs, poss, height: int,
-                        expected_indices, perm_fn) -> np.ndarray:
+                        expected_indices, perm_fn, chain_fn=None) -> np.ndarray:
     """Verify K compact openings with one batched permutation per level.
 
     root: one int (all openings against the same tree) or a length-K
@@ -288,10 +297,11 @@ def tree_verify_batched(root, values, sibs, poss, height: int,
     indices the VERIFIER demands (transcript-derived) — the position path
     must both hash to the root AND encode exactly that index, and every
     attacker-supplied position is range-checked (see models/merkle.py's
-    range-check note). Returns (K,) bool."""
+    range-check note). chain_fn: see _tree_verify_nodes. Returns (K,)
+    bool."""
     node = ints_to_digits(list(values), shape=(len(values),))
     return _tree_verify_nodes(root, node, sibs, poss, height,
-                              expected_indices, perm_fn)
+                              expected_indices, perm_fn, chain_fn)
 
 
 # Block-leaf trees: each tree position holds a BLOCK of values (e.g. the
@@ -347,11 +357,14 @@ def _block_subtree_roots(value_blocks: np.ndarray, perm_fn) -> np.ndarray:
 
 
 def tree_verify_blocks(root, value_blocks, sibs, poss, upper_height: int,
-                       expected_positions, perm_fn) -> np.ndarray:
+                       expected_positions, perm_fn, chain_fn=None
+                       ) -> np.ndarray:
     """Verify K block openings: value_blocks is (K, block_size) claimed
     ints; the path (sibs/poss, from tree_open_blocks) must hash to the
     root AND encode exactly expected_positions. Same pooled-root
-    semantics as tree_verify_batched. Returns (K,) bool."""
+    semantics as tree_verify_batched; chain_fn fuses the upper path
+    chain (the block-subtree collapse stays on perm_fn — it is at most
+    block_levels_for(size) extra calls). Returns (K,) bool."""
     value_blocks = [list(b) for b in value_blocks]
     k = len(value_blocks)
     if k == 0:
@@ -365,7 +378,7 @@ def tree_verify_blocks(root, value_blocks, sibs, poss, upper_height: int,
     node = (digits[:, 0] if pad == 1
             else _block_subtree_roots(digits, perm_fn))
     return _tree_verify_nodes(root, node, sibs, poss, upper_height,
-                              expected_positions, perm_fn)
+                              expected_positions, perm_fn, chain_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -1030,14 +1043,16 @@ def _verify_prepare(vk: VerifyingKey, proof: SuccinctProof, public_inputs,
 
 
 def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
-                            perm_fn=None) -> np.ndarray:
+                            perm_fn=None, chain_fn=None) -> np.ndarray:
     """Verify MANY succinct proofs against one verifying key with pooled
     Merkle hashing: all proofs' and all polynomials' openings at the same
     tree height ride the same per-level permutation batch (h0 + n_folds-2
     pooled calls total, independent of the batch size). Per-proof
-    transcript replay and the zeta/fold algebra stay host-side. Returns a
-    (B,) bool array; entry b is exactly verify_succinct(vk, proofs[b],
-    public_inputs_list[b])."""
+    transcript replay and the zeta/fold algebra stay host-side.
+    chain_fn fuses each pooled height group's whole per-level chain into
+    one call (see _tree_verify_nodes; fri_tpu.verify_succinct_device_batch
+    passes the fused device chain). Returns a (B,) bool array; entry b is
+    exactly verify_succinct(vk, proofs[b], public_inputs_list[b])."""
     if len(proofs) != len(public_inputs_list):
         raise ValueError("one public-input list per proof required")
     if perm_fn is None:
@@ -1086,6 +1101,7 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
     ok0 = tree_verify_batched(
         pool_roots, pool_vals, np.concatenate(pool_sibs),
         np.concatenate(pool_poss), shapes["h0"], pool_idx, perm_fn,
+        chain_fn,
     )
     failed = {b for b, good in zip(pool_owner, ok0) if not good}
 
@@ -1112,7 +1128,7 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
             break
         ok_k = tree_verify_batched(
             roots, vals, np.concatenate(sibs), np.concatenate(poss),
-            h_k, idxs, perm_fn,
+            h_k, idxs, perm_fn, chain_fn,
         )
         failed |= {b for b, good in zip(owner, ok_k) if not good}
 

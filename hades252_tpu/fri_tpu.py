@@ -1098,3 +1098,91 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None,
         key_open_sibs=key_open_sibs,
         key_open_poss=key_open_poss,
     )
+
+
+# ---------------------------------------------------------------------------
+# Device-resident batched VERIFICATION (fused opening chains)
+# ---------------------------------------------------------------------------
+
+
+def _chain_nodes_body(node, sibs, poss, perm_fn, pad_to: int = 1):
+    """Recompute the root-level digests of K compact openings in one
+    traceable chain: node (K, D) canonical digits of the starting
+    entries, sibs (K, h, 3, D), poss (K, h). Per level the node is
+    re-inserted among its siblings (identical semantics to
+    fri._insert_at, out-of-range positions clipped — the host-side
+    range check rejects those rows) and the whole K-batch is hashed with
+    one permutation. One traceable body, so a pooled height group's
+    entire h-level chain compiles to ONE device executable — the pooled
+    verifier otherwise pays one round trip per level (PERF.md).
+
+    pad_to: pad the permutation batch to the kernel's canonical block,
+    same rationale as _tree_levels_body."""
+    k, h = poss.shape
+    tag = jnp.broadcast_to(jnp.asarray(fri._tag_digits()),
+                           (k, 1, N_DIGITS))
+    for lvl in range(h):
+        pos = poss[:, lvl]
+        sl = sibs[:, lvl]
+        cols = []
+        for j in range(ARITY):
+            idx = jnp.clip(jnp.where(j > pos, j - 1, j), 0, ARITY - 2)
+            s = jnp.take_along_axis(sl, idx[:, None, None], axis=1)[:, 0]
+            cols.append(jnp.where((pos == j)[:, None], node, s))
+        children = jnp.stack(cols, axis=1)
+        states = jnp.concatenate([tag, children], axis=1)
+        pad = (-k) % pad_to
+        if pad:
+            states = jnp.pad(states, ((0, pad), (0, 0), (0, 0)))
+        node = perm_fn(states)[:k, DIGEST_INDEX, :]
+    return node
+
+
+@jax.jit
+def _chain_nodes_dev(node: jnp.ndarray, sibs: jnp.ndarray,
+                     poss: jnp.ndarray) -> jnp.ndarray:
+    from .ops.perm_pallas import default_block, permute_pallas
+
+    return _chain_nodes_body(node, sibs, poss, permute_pallas,
+                             pad_to=default_block())
+
+
+def device_chain_fn(node, sibs, poss):
+    """fri chain_fn running the whole opening chain on the TPU: one
+    executable + one digest fetch per pooled height group."""
+    return np.asarray(_chain_nodes_dev(
+        jnp.asarray(np.asarray(node, np.uint32)),
+        jnp.asarray(np.asarray(sibs, np.uint32)),
+        jnp.asarray(np.asarray(poss, np.int32)),
+    ))
+
+
+def verify_succinct_device_batch(vk, proofs, public_inputs_list
+                                 ) -> np.ndarray:
+    """Device twin of fri.verify_succinct_batched: identical verdicts
+    (the transcript replay, range/index checks, and fold algebra are the
+    same host code), but every pooled Merkle opening chain runs as ONE
+    fused-kernel executable on the TPU instead of one permutation call
+    per level. On non-TPU backends this is exactly the host-pooled path.
+
+    Reference anchor: the verification half of the prove/verify cycle
+    the reference exercises through dusk-plonk
+    (/root/reference/src/strategies/gadget.rs:198-223)."""
+    if jax.default_backend() != "tpu":
+        return fri.verify_succinct_batched(vk, proofs, public_inputs_list)
+    return fri.verify_succinct_batched(vk, proofs, public_inputs_list,
+                                       chain_fn=device_chain_fn)
+
+
+def verify_aggregate_device(vk, proof, public_inputs_list) -> bool:
+    """Device twin of aggregate.verify_aggregate: identical verdict, with
+    every opening-path chain (wire block trees, key trees, FRI layers)
+    fused into one device executable per call via the chain seam. The
+    block-subtree collapse and all transcript/fold algebra stay host-side
+    (they are small). On non-TPU backends this is exactly the host path."""
+    from . import aggregate
+
+    if jax.default_backend() != "tpu":
+        return aggregate.verify_aggregate(vk, proof, public_inputs_list)
+    return aggregate.verify_aggregate(vk, proof, public_inputs_list,
+                                      chain_fn=device_chain_fn)

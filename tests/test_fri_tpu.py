@@ -225,3 +225,96 @@ def jnp_asarray(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+def test_chain_nodes_body_matches_host_loop(rng):
+    """The fused verification chain (fri_tpu._chain_nodes_body) must give
+    exactly the per-level host loop's verdicts through
+    tree_verify_batched's chain_fn seam: valid openings accepted,
+    tampered values rejected, out-of-range positions rejected."""
+    leaves = [int.from_bytes(rng.bytes(40), "little") % fri.P
+              for _ in range(16)]
+    perm = fri.default_pcs_perm()
+    levels = fri.tree_build(leaves, perm)
+    root = fri.tree_root(levels)
+    h = len(levels) - 1
+    idx = [3, 7, 12]
+    sibs, poss = fri.tree_open_batched(levels, idx)
+    values = [leaves[i] for i in idx]
+
+    def perm_rows(states):
+        return np.asarray(perm(np.asarray(states, np.uint32)))
+
+    def chain(node, sibs_, poss_):
+        # pad_to=8 exercises the canonical-block padding on CPU
+        return fri_tpu._chain_nodes_body(
+            np.asarray(node), np.asarray(sibs_),
+            np.asarray(poss_), perm_rows, pad_to=8)
+
+    ok_loop = fri.tree_verify_batched(root, values, sibs, poss, h, idx,
+                                      perm)
+    ok_chain = fri.tree_verify_batched(root, values, sibs, poss, h, idx,
+                                       perm, chain)
+    assert np.array_equal(ok_loop, ok_chain) and bool(np.all(ok_chain))
+
+    bad = list(values)
+    bad[1] = (bad[1] + 1) % fri.P
+    ok_bad = fri.tree_verify_batched(root, bad, sibs, poss, h, idx,
+                                     perm, chain)
+    assert list(ok_bad) == [True, False, True]
+
+    poss_bad = np.asarray(poss).copy()
+    poss_bad[0, 0] = fri.ARITY  # out of range: clipped in-chain,
+    assert not fri.tree_verify_batched(  # rejected by the host range check
+        root, values, sibs, poss_bad, h, idx, perm, chain)[0]
+
+
+def test_verify_succinct_device_batch_cpu_fallback(rng):
+    """On non-TPU backends verify_succinct_device_batch IS the host
+    pooled path — verdicts identical to verify_succinct per proof."""
+    c = _circuit()
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8)
+    pk, vk = fri.preprocess_succinct(c, params)
+    proof = fri.prove_succinct(c, pk)
+    pi = [g.pi for g in c.gates]
+    verd = fri_tpu.verify_succinct_device_batch(vk, [proof, proof],
+                                                [pi, pi])
+    assert bool(np.all(verd))
+
+
+def test_verify_aggregate_chain_fn_matches_host():
+    """verify_aggregate through the chain seam (fused chain body on the
+    emulated perm) must match the plain host path, including rejection."""
+    from hades252_tpu import aggregate
+
+    cs = []
+    for k in range(2):
+        c = Composer()
+        a = c.append_witness(3 + k)
+        b = c.append_witness(5 + k)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+        c.gate_add(Constraint().left(1).a(a).right(1).b(b)
+                   .public(-(8 + 2 * k)))
+        cs.append(c)
+    pis = [[g.pi for g in c.gates] for c in cs]
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8)
+    pk, vk = fri.preprocess_succinct(cs[0], params)
+    agg = aggregate.prove_aggregate(cs, pk)
+
+    perm = fri.default_pcs_perm()
+
+    def perm_rows(states):
+        return np.asarray(perm(np.asarray(states, np.uint32)))
+
+    def chain(node, sibs_, poss_):
+        return fri_tpu._chain_nodes_body(
+            np.asarray(node), np.asarray(sibs_),
+            np.asarray(poss_), perm_rows, pad_to=8)
+
+    assert aggregate.verify_aggregate(vk, agg, pis, chain_fn=chain)
+    bad_pis = [list(pis[0]), list(pis[1])]
+    bad_pis[0][-1] += 1
+    assert not aggregate.verify_aggregate(vk, agg, bad_pis,
+                                          chain_fn=chain)
+    # CPU fallback entry point is the host path
+    assert fri_tpu.verify_aggregate_device(vk, agg, pis)
