@@ -455,7 +455,9 @@ def main_aggregate():
 
     blob = serialize.aggregate_to_bytes(agg, vk)
     ok = (blob == serialize.aggregate_to_bytes(host, vk)
-          and aggregate.verify_aggregate(vk, agg, pis))
+          and aggregate.verify_aggregate(vk, agg, pis)
+          # the fused device verification chains must agree on-hardware
+          and fri_tpu.verify_aggregate_device(vk, agg, pis))
     if not ok:
         raise RuntimeError(
             "device aggregate deviates from the host oracle — refusing "

@@ -175,6 +175,51 @@ def cipher_sharded(key, nonce, data, mesh: Mesh, *, decrypt: bool = False,
     )
 
 
+def chain_nodes_sharded(node, sibs, poss, mesh: Mesh, perm_fn=None):
+    """Mesh-sharded verification chains: the K compact-opening rows of a
+    pooled height group shard over the batch axis (rows are independent
+    chains — no cross-device traffic) and each device runs its whole
+    h-level chain in ONE executable (fri_tpu._chain_nodes_body, the same
+    code the single-device fused verifier traces). node (K, N_DIGITS)
+    canonical digits, sibs (K, h, 3, N_DIGITS), poss (K, h); K divisible
+    by the mesh size. Returns (K, N_DIGITS) root-level digests,
+    bit-identical to fri's host per-level loop."""
+    from ..fri_tpu import _chain_nodes_body
+
+    pad_to = 1
+    if perm_fn is None:
+        if jax.default_backend() == "tpu":
+            from ..ops.perm_pallas import default_block
+            from ..ops.perm_pallas import permute_pallas as perm_fn
+
+            pad_to = default_block()
+        else:
+            from ..ops.perm_ref import permute as perm_fn
+    node = jnp.asarray(node)
+    if node.shape[0] % mesh.shape[AXIS] != 0:
+        raise ValueError(
+            f"openings {node.shape[0]} not divisible by mesh size "
+            f"{mesh.shape[AXIS]}"
+        )
+    jfn = _cached_jit(
+        mesh, ("verify.chain", perm_fn, pad_to),
+        lambda: shard_map(
+            lambda n, s, p: _chain_nodes_body(n, s, p, perm_fn, pad_to),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None, None, None),
+                      P(AXIS, None)),
+            out_specs=P(AXIS, None), check_vma=False,
+        ),
+    )
+    sh2 = NamedSharding(mesh, P(AXIS, None))
+    sh4 = NamedSharding(mesh, P(AXIS, None, None, None))
+    return jfn(
+        jax.device_put(node, sh2),
+        jax.device_put(jnp.asarray(sibs), sh4),
+        jax.device_put(jnp.asarray(poss), sh2),
+    )
+
+
 def sharded_phases(mesh: Mesh):
     """Data-parallel PLONK proving: the three device phases of
     prover_tpu (wire iNTTs, grand product, quotient) wrapped in shard_map

@@ -194,3 +194,38 @@ def test_succinct_aggregate_sharded_matches_single(mesh8):
         fri_tpu.prove_aggregate_device(composers[:3], pk, mesh=mesh8)
     with pytest.raises(ValueError, match="not divisible"):
         fri_tpu.prove_succinct_device_batch(composers[:3], pk, mesh=mesh8)
+
+
+def test_chain_nodes_sharded_matches_host(rng, mesh8):
+    """Mesh-sharded verification chains (dist.chain_nodes_sharded) must
+    produce exactly the host per-level loop's root digests — the same
+    bit-identity contract as every other sharded path."""
+    from hades252_tpu import fri
+
+    leaves = [int.from_bytes(rng.bytes(40), "little") % P
+              for _ in range(16)]
+    perm = fri.default_pcs_perm()
+    levels = fri.tree_build(leaves, perm)
+    idx = list(range(8))  # 8 openings -> 1 per device
+    sibs, poss = fri.tree_open_batched(levels, idx)
+    node = ints_to_digits([leaves[i] for i in idx], shape=(8,))
+
+    # host reference digests: the per-level loop from _tree_verify_nodes
+    ref = np.asarray(node)
+    tag = np.broadcast_to(fri._tag_digits(), (8, 1, ref.shape[-1]))
+    for lvl in range(poss.shape[1]):
+        children = fri._insert_at(ref, np.asarray(sibs)[:, lvl],
+                                  np.asarray(poss)[:, lvl])
+        states = np.concatenate([tag, children], axis=1).astype(np.uint32)
+        ref = np.asarray(perm(states))[:, fri.DIGEST_INDEX, :]
+
+    out = dist.chain_nodes_sharded(node, sibs, poss, mesh8)
+    assert np.array_equal(np.asarray(out), ref)
+
+    # the fri_tpu mesh chain_fn pads non-divisible pools and slices back
+    from hades252_tpu import fri_tpu
+
+    chain = fri_tpu._mesh_chain_fn(mesh8)
+    out5 = chain(np.asarray(node)[:5], np.asarray(sibs)[:5],
+                 np.asarray(poss)[:5])
+    assert np.array_equal(out5, ref[:5])
