@@ -147,3 +147,19 @@ print("aggregate of", agg.n_instances, "instances verifies:",
       f"({aggregate.aggregate_size_field_elements(agg)} field elements, "
       f"{len(wire_agg)} wire bytes, vs "
       f"{3 * fri.proof_size_field_elements(sp)} for 3 separate proofs)")
+
+# --- device-resident verification entry points ---------------------------------
+# on a TPU host every pooled opening chain below runs as ONE fused device
+# executable (verdicts bit-identical to the host path); off-TPU the same
+# calls fall back to the host-pooled path, so this example runs anywhere.
+# mesh= (a jax.sharding Mesh) shards the chains across devices. The
+# device PROVER twins (fri_tpu.prove_succinct_device[_batch] /
+# prove_aggregate_device) are exercised by tests/test_fri_tpu.py and
+# bench.py fri/aggregate — their phase compiles are too heavy for this
+# quickstart's CPU budget.
+from hades252_tpu import fri_tpu
+
+verdicts = fri_tpu.verify_succinct_device_batch(
+    vk, [sp, sp], [[g.pi for g in tiny.gates]] * 2)
+print("device verification entry points:", list(map(bool, verdicts)),
+      "| aggregate:", fri_tpu.verify_aggregate_device(vk, agg, pis))
