@@ -342,25 +342,35 @@ def main_plonk():
 
 
 def main_fri():
-    """Succinct-proof (DEEP-FRI) proving throughput: one 973-gate
-    permutation-preimage instance through the device-resident prover
-    (fri_tpu), blowup 4 / 16 queries / final degree 64 (~32-bit FRI
-    soundness — a throughput config; production uses FriParams()
-    defaults). Gate: the device proof must be BIT-IDENTICAL to the host
-    prover's and verify. Prints host and device sec/proof."""
+    """Succinct-proof (DEEP-FRI) proving throughput: permutation-chain
+    preimage instances through the device-resident prover (fri_tpu),
+    blowup 4 / 16 queries / final degree 64 (~32-bit FRI soundness — a
+    throughput config; production uses FriParams() defaults). argv[2]
+    overrides the batch size B (default 8); argv[3] the number of CHAINED
+    permutation gadgets per circuit (default 1 = 973 gates; k chains to
+    ~973k gates — the circuit-size scaling axis). Gate: the device proof
+    must be BIT-IDENTICAL to the host prover's and verify. Prints host
+    and device sec/proof."""
     from hades252_tpu import fri, fri_tpu
     from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
     from hades252_tpu.params import P, WIDTH
     from hades252_tpu.strategy import ScalarStrategy
 
     rng = np.random.default_rng(0)
+    n_perms = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     x = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(WIDTH)]
-    expected = ScalarStrategy().perm(list(x))
+    strat = ScalarStrategy()
+    expected = list(x)
+    for _ in range(n_perms):
+        expected = strat.perm(list(expected))
     c = Composer()
     ws = [c.append_witness(w) for w in x]
-    GadgetStrategy.gadget(c, ws)
-    for w, e in zip(ws, expected):
+    state = list(ws)
+    for _ in range(n_perms):
+        GadgetStrategy.gadget(c, state)  # hash chain: output feeds next
+    for w, e in zip(state, expected):
         c.append_gate(Constraint().left(1).a(w).public(-e))
+    n_gates = len(c.gates)
 
     params = fri.FriParams(blowup=4, n_queries=16, final_degree=64)
     pk, vk = fri.preprocess_succinct(c, params)
@@ -398,9 +408,10 @@ def main_fri():
     print(
         json.dumps(
             {
-                "metric": "fri_succinct_prove_973gates",
+                "metric": f"fri_succinct_prove_{n_gates}gates",
                 "value": round(bsz / batch_secs, 3),
                 "unit": "proofs/sec/chip",
+                "n_gates": n_gates,
                 "sec_per_proof_device": round(dev_secs, 3),
                 "sec_per_proof_host": round(host_secs, 3),
                 "speedup": round(host_secs / dev_secs, 1),

@@ -445,6 +445,84 @@ def _fold_dev(evals, beta_mont, xinv_mont, inv2_mont):
     )
 
 
+# -- in-trace Fiat-Shamir transcript (device twin of plonk.Transcript) -------
+# State is (B, WIDTH, D) canonical digits, one independent transcript per
+# instance; absorb/challenge replicate plonk.Transcript exactly (add into
+# rate word, permute; read rate word, permute), so a host Transcript can
+# be synchronized to/from it via its state accessors and continue the
+# stream bit-identically.
+
+
+def _perm_padded(states, perm_fn, pad_to: int):
+    """Batched canonical permutation padded to the kernel's canonical
+    block (zeros sliced off) — same rationale as _tree_levels_body."""
+    b = states.shape[0]
+    pad = (-b) % pad_to
+    if pad:
+        states = jnp.pad(states, ((0, pad), (0, 0), (0, 0)))
+    return perm_fn(states)[:b]
+
+
+def _tr_absorb1(state, val, perm_fn, pad_to: int):
+    """Transcript.absorb with ONE value per instance: state (B, 5, D) and
+    val (B, D) canonical — add into rate word 1, permute."""
+    word = field.add_mod(state[:, 1], val)
+    state = jnp.concatenate(
+        [state[:, :1], word[:, None], state[:, 2:]], axis=1
+    )
+    return _perm_padded(state, perm_fn, pad_to)
+
+
+def _tr_challenge(state, perm_fn, pad_to: int):
+    """Transcript.challenge: returns ((B, D) canonical challenge, new
+    state)."""
+    return state[:, 1], _perm_padded(state, perm_fn, pad_to)
+
+
+def _fri_phase_body(f0, tr_state, xinvs, inv2, perm_fn, pad_to: int):
+    """The WHOLE FRI commit phase as one traceable body: per fold k draw
+    beta_k from the in-trace transcript, fold the (B, m_k, D) evaluations,
+    and (below the final layer) build the commitment tree and absorb its
+    root — exactly the host prover's challenge/fold/absorb sequence, so
+    the returned transcript state continues the host stream bit-
+    identically. Through a relay this turns ~3(n_folds-1) round trips
+    (fold exec + tree exec + root fetch per layer) into ONE executable +
+    one fetch (PERF.md).
+
+    f0 (B, m0, D) canonical DEEP-composition evals; tr_state (B, 5, D)
+    canonical transcript states; xinvs: tuple of (m_k/2, D) Montgomery
+    fold tables (their count = n_folds); inv2 Montgomery 1/2. Returns
+    (final_evals, tr_state, layer_evals tuple, layer_levels tuple of
+    level-tuples)."""
+    cur = f0
+    layer_evals, layer_levels = [], []
+    n_folds = len(xinvs)
+    for k, xinv in enumerate(xinvs, start=1):
+        beta, tr_state = _tr_challenge(tr_state, perm_fn, pad_to)
+        cur = _fold_dev(cur, field.to_mont(beta), jnp.asarray(xinv), inv2)
+        if k < n_folds:
+            # zero-pad the leaf count to a power of 4 exactly like
+            # fri.tree_build / _build_levels before hashing
+            n = cur.shape[1]
+            full = ARITY ** _tree_height(n)
+            lvl0 = (jnp.pad(cur, ((0, 0), (0, full - n), (0, 0)))
+                    if full > n else cur)
+            levels = _tree_levels_body(lvl0, perm_fn, pad_to)
+            tr_state = _tr_absorb1(tr_state, levels[-1][:, 0], perm_fn,
+                                   pad_to)
+            layer_evals.append(cur)
+            layer_levels.append(levels)
+    return cur, tr_state, tuple(layer_evals), tuple(layer_levels)
+
+
+@jax.jit
+def _fri_phase_dev(f0, tr_state, xinvs, inv2):
+    from .ops.perm_pallas import default_block, permute_pallas
+
+    return _fri_phase_body(f0, tr_state, xinvs, inv2, permute_pallas,
+                           default_block())
+
+
 # ---------------------------------------------------------------------------
 # The device prover (batched over instances)
 # ---------------------------------------------------------------------------
@@ -659,27 +737,52 @@ def prove_succinct_device_batch(composers, pk: ProvingKey,
 
     # --- FRI commit phase on device ---------------------------------------
     inv2_mont = jnp.asarray(_scalar_mont((P + 1) // 2))
-    layer_data = []  # (evals (B, m_k, D), levels)
-    layer_roots_all = [[] for _ in range(b)]
-    cur = f_dev
-    shift = G0
-    size = m0
-    for k_fold in range(1, n_folds + 1):
-        beta_ks = [tr.challenge() for tr in trs]
-        bm = jnp.asarray(ints_to_digits(
-            [v * R % P for v in beta_ks], shape=(b,)
-        ))
-        cur = _fold_dev(cur, bm, jnp.asarray(_xinv_mont(size, shift)),
-                        inv2_mont)
+    xinvs, shift, size = [], G0, m0
+    for _ in range(n_folds):
+        xinvs.append(_xinv_mont(size, shift))
         shift = shift * shift % P
         size //= 2
-        if k_fold < n_folds:
-            lv = _build_levels(cur)
-            rts = _root_ints(lv)
-            layer_data.append((cur, lv))
+    layer_data = []  # (evals (B, m_k, D), levels)
+    layer_roots_all = [[] for _ in range(b)]
+    if jax.default_backend() == "tpu":
+        # the whole phase — per-fold challenge draw, fold, tree build,
+        # root absorb — runs as ONE executable with the in-trace
+        # transcript (_fri_phase_dev); the host transcripts sync to the
+        # post-phase sponge states and continue the stream
+        tr_state = jnp.asarray(ints_to_digits(
+            [v for tr in trs for v in tr.state], shape=(b, 5)
+        ))
+        cur, tr_state, layer_evals, layer_levels = _fri_phase_dev(
+            f_dev, tr_state, tuple(jnp.asarray(x) for x in xinvs),
+            inv2_mont,
+        )
+        layer_data = [(ev, list(lv))
+                      for ev, lv in zip(layer_evals, layer_levels)]
+        if layer_levels:
+            roots_np = digits_to_ints(np.asarray(jnp.stack(
+                [lv[-1][:, 0] for lv in layer_levels], axis=1
+            )))  # (B, n_folds-1) — ONE fetch for every layer root
             for i in range(b):
-                layer_roots_all[i].append(rts[i])
-                trs[i].absorb(rts[i])
+                layer_roots_all[i] = [int(v) for v in roots_np[i]]
+        state_ints = digits_to_ints(np.asarray(tr_state))
+        for i in range(b):
+            trs[i].set_state([int(v) for v in state_ints[i]])
+    else:
+        cur = f_dev
+        for k_fold in range(1, n_folds + 1):
+            beta_ks = [tr.challenge() for tr in trs]
+            bm = jnp.asarray(ints_to_digits(
+                [v * R % P for v in beta_ks], shape=(b,)
+            ))
+            cur = _fold_dev(cur, bm, jnp.asarray(xinvs[k_fold - 1]),
+                            inv2_mont)
+            if k_fold < n_folds:
+                lv = _build_levels(cur)
+                rts = _root_ints(lv)
+                layer_data.append((cur, lv))
+                for i in range(b):
+                    layer_roots_all[i].append(rts[i])
+                    trs[i].absorb(rts[i])
     final_np = np.asarray(cur)
     final_coeffs_all = []
     for i in range(b):
@@ -998,24 +1101,43 @@ def prove_aggregate_device(composers, pk: ProvingKey, rng=None,
 
     # --- one FRI commit phase ---------------------------------------------
     inv2_mont = jnp.asarray(_scalar_mont((P + 1) // 2))
-    layer_data = []
-    layer_roots = []
-    cur = f_dev
-    shift = G0
-    size = m0
-    for k_fold in range(1, n_folds + 1):
-        beta_k = tr.challenge()
-        bm = jnp.asarray(ints_to_digits([beta_k * R % P], shape=(1,)))
-        cur = _fold_dev(cur, bm, jnp.asarray(_xinv_mont(size, shift)),
-                        inv2_mont)
+    xinvs, shift, size = [], G0, m0
+    for _ in range(n_folds):
+        xinvs.append(_xinv_mont(size, shift))
         shift = shift * shift % P
         size //= 2
-        if k_fold < n_folds:
-            lv = _build_levels(cur)
-            rt = _root_ints(lv)[0]
-            layer_data.append((cur, lv))
-            layer_roots.append(rt)
-            tr.absorb(rt)
+    layer_data = []
+    layer_roots = []
+    if jax.default_backend() == "tpu":
+        # one executable for the whole phase, shared transcript in-trace
+        # (see _fri_phase_body); the host transcript resumes afterwards
+        tr_state = jnp.asarray(ints_to_digits(tr.state, shape=(1, 5)))
+        cur, tr_state, layer_evals, layer_levels = _fri_phase_dev(
+            f_dev, tr_state, tuple(jnp.asarray(x) for x in xinvs),
+            inv2_mont,
+        )
+        layer_data = [(ev, list(lv))
+                      for ev, lv in zip(layer_evals, layer_levels)]
+        if layer_levels:
+            roots_np = digits_to_ints(np.asarray(jnp.stack(
+                [lv[-1][:, 0] for lv in layer_levels], axis=1
+            )))
+            layer_roots = [int(v) for v in roots_np[0]]
+        tr.set_state([int(v) for v in digits_to_ints(
+            np.asarray(tr_state))[0]])
+    else:
+        cur = f_dev
+        for k_fold in range(1, n_folds + 1):
+            beta_k = tr.challenge()
+            bm = jnp.asarray(ints_to_digits([beta_k * R % P], shape=(1,)))
+            cur = _fold_dev(cur, bm, jnp.asarray(xinvs[k_fold - 1]),
+                            inv2_mont)
+            if k_fold < n_folds:
+                lv = _build_levels(cur)
+                rt = _root_ints(lv)[0]
+                layer_data.append((cur, lv))
+                layer_roots.append(rt)
+                tr.absorb(rt)
     final_coeffs = fri._coset_interp(_ints_row(np.asarray(cur)[0]), shift)
     if any(c_ % P for c_ in final_coeffs[final_degree:]):
         raise ValueError(

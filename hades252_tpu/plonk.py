@@ -274,6 +274,20 @@ class Transcript:
         self._state = self._perm(self._state)
         return c
 
+    # -- state sync (device-resident transcript interop) --------------------
+    # fri_tpu runs stretches of the Fiat-Shamir stream in-trace (the FRI
+    # fold phase); these accessors hand the 5-word sponge state across the
+    # host/device boundary so the stream continues bit-identically.
+
+    @property
+    def state(self) -> list:
+        return list(self._state)
+
+    def set_state(self, state) -> None:
+        if len(state) != len(self._state):
+            raise ValueError("transcript state must be 5 field elements")
+        self._state = [int(v) % P for v in state]
+
 
 # ---------------------------------------------------------------------------
 # Preprocessing: selector + permutation (sigma) polynomials

@@ -318,3 +318,76 @@ def test_verify_aggregate_chain_fn_matches_host():
                                           chain_fn=chain)
     # CPU fallback entry point is the host path
     assert fri_tpu.verify_aggregate_device(vk, agg, pis)
+
+
+def test_fri_phase_body_matches_host_chain(rng):
+    """The fused FRI commit phase (in-trace transcript + folds + trees,
+    fri_tpu._fri_phase_body) must replicate the host chain exactly:
+    challenge -> fold_evals -> tree root -> absorb per fold, and the
+    returned sponge state must continue the host Transcript stream."""
+    import jax.numpy as jnp
+
+    from hades252_tpu import plonk
+    from hades252_tpu.fri_tpu import (_fri_phase_body, _scalar_mont,
+                                      _xinv_mont)
+    from hades252_tpu.params import P
+    from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+
+    b, m0, n_folds = 2, 32, 3
+    evals_int = [[int.from_bytes(rng.bytes(40), "little") % P
+                  for _ in range(m0)] for _ in range(b)]
+
+    # host reference: independent transcripts with distinct histories
+    trs = [plonk.Transcript() for _ in range(b)]
+    for i, tr in enumerate(trs):
+        tr.absorb(1000 + i)
+    host_states0 = [tr.state for tr in trs]
+
+    perm = fri.default_pcs_perm()
+    host_layers, host_roots = [], []
+    host_evals = [list(e) for e in evals_int]
+    shift = fri.G0
+    for k in range(1, n_folds + 1):
+        betas = [tr.challenge() for tr in trs]
+        host_evals = [fri.fold_evals(e, shift, beta)
+                      for e, beta in zip(host_evals, betas)]
+        shift = shift * shift % P
+        if k < n_folds:
+            lvs = [fri.tree_build(e, perm) for e in host_evals]
+            roots = [fri.tree_root(lv) for lv in lvs]
+            host_layers.append(host_evals)
+            host_roots.append(roots)
+            for tr, rt in zip(trs, roots):
+                tr.absorb(rt)
+
+    # fused body on the emulated perm (pad_to exercises padding)
+    def perm_rows(states):
+        return np.asarray(perm(np.asarray(states, np.uint32)))
+
+    xinvs, shift2, size = [], fri.G0, m0
+    for _ in range(n_folds):
+        xinvs.append(_xinv_mont(size, shift2))
+        shift2 = shift2 * shift2 % P
+        size //= 2
+    f0 = jnp.asarray(ints_to_digits(evals_int, shape=(b, m0)))
+    tr_state0 = jnp.asarray(ints_to_digits(host_states0, shape=(b, 5)))
+    cur, tr_state, layer_evals, layer_levels = _fri_phase_body(
+        f0, tr_state0, tuple(xinvs),
+        jnp.asarray(_scalar_mont((P + 1) // 2)), perm_rows, pad_to=8,
+    )
+    got_final = digits_to_ints(np.asarray(cur))
+    for i in range(b):
+        assert [int(v) for v in got_final[i]] == host_evals[i]
+    for k, (ev, lv) in enumerate(zip(layer_evals, layer_levels)):
+        got = digits_to_ints(np.asarray(ev))
+        for i in range(b):
+            assert [int(v) for v in got[i]] == host_layers[k][i]
+        got_roots = digits_to_ints(np.asarray(lv[-1][:, 0]))
+        assert [int(v) for v in got_roots] == host_roots[k]
+    got_states = digits_to_ints(np.asarray(tr_state))
+    for i in range(b):
+        assert [int(v) for v in got_states[i]] == trs[i].state
+        # the synced host transcript continues the stream identically
+        resumed = plonk.Transcript()
+        resumed.set_state([int(v) for v in got_states[i]])
+        assert resumed.challenge() == trs[i].challenge()
