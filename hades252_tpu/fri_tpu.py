@@ -10,19 +10,23 @@ a leading INSTANCE axis throughout:
   * wire/z/t polynomials come from prover_tpu's jitted phases (batched
     NTT interpolation, associative-scan grand product, coset quotient);
   * commitments evaluate each polynomial on L0 with ops/ntt's batched
-    coset NTT and hash the arity-4 tree levels with the fused Pallas
-    permutation — all B instances' trees per level in ONE kernel call —
-    entirely on device (roots, 32 bytes each, are all that crosses to
-    the host transcripts);
-  * the DEEP composition and every FRI fold are batched field ops with
-    per-instance challenge scalars (Montgomery constant tables cached);
-  * only transcript scalars, the small final-layer coefficients, and the
-    query openings (batched device gathers) are ever fetched.
+    coset NTT and hash commitment trees with the fused Pallas
+    permutation — each tree's EVERY level in one executable
+    (_tree_levels_body), the four wire trees sharing one build — with
+    only the roots (32 bytes each) crossing to the host transcripts;
+  * the ENTIRE FRI commit phase (per-fold challenge draw, fold, layer
+    tree, root absorb) is ONE executable: the Fiat-Shamir sponge runs
+    in-trace as (B, 5, D) digit state and the host plonk.Transcript
+    resumes from the returned state bit-identically (_fri_phase_body);
+  * all claimed evaluations are one device evaluation call
+    (_eval_rows_dev); openings are in-trace gather+pack, one call and
+    one fetch per tree (_open_all_dev).
 
-Batching matters here specifically because of the serving topology: the
-prover is a fixed sequence of ~40 device calls, so through a relay its
-latency is round-trip-bound (PERF.md) — B instances ride the SAME call
-sequence and amortize every round trip.
+The prover is therefore ~8 device round trips end to end regardless of
+batch size. Batching matters specifically because of the serving
+topology: through a relay the latency is round-trip-bound (PERF.md) —
+B instances ride the SAME call sequence and amortize every round trip;
+on directly-attached chips the same structure minimizes launch count.
 
 Each emitted SuccinctProof is BIT-IDENTICAL to fri.prove_succinct's for
 the same (composer, pk, rng) — same transcripts, same roots, same
