@@ -382,6 +382,295 @@ def tree_verify_blocks(root, value_blocks, sibs, poss, upper_height: int,
 
 
 # ---------------------------------------------------------------------------
+# Paired-block leaf digests + Merkle multiproofs (the HSP2 commitment
+# layout: VERDICT r3 missing #1 — proofs shrink toward the reference's
+# KZG class by (a) pruned multiproofs, (b) transcript-derived positions,
+# (c) grinding; see grind_transcript)
+# ---------------------------------------------------------------------------
+
+TAG_PCS_LEAF = 7  # leaf-digest sponge domain tag (tree nodes keep TAG_PCS)
+
+
+def leaf_tag_int(block_size: int) -> int:
+    """Capacity word of the leaf-digest sponge: domain tag + block width,
+    so blocks of different widths can never collide across trees."""
+    return TAG_PCS_LEAF + (int(block_size) << 8)
+
+
+@cache
+def _p_digits_i64() -> np.ndarray:
+    from .params import int_to_digits
+
+    return int_to_digits(P).astype(np.int64)
+
+
+def add_mod_digits_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Canonical mod-p addition on (..., N_DIGITS) 16-bit digit arrays —
+    vectorized host numpy (both operands canonical)."""
+    s = np.asarray(a).astype(np.int64) + np.asarray(b).astype(np.int64)
+    out = np.empty_like(s)
+    carry = np.zeros(s.shape[:-1], np.int64)
+    for i in range(N_DIGITS):
+        t = s[..., i] + carry
+        out[..., i] = t & 0xFFFF
+        carry = t >> 16
+    pd = _p_digits_i64()
+    ge = np.zeros(s.shape[:-1], bool)
+    eq = np.ones(s.shape[:-1], bool)
+    for i in range(N_DIGITS - 1, -1, -1):
+        ge |= eq & (out[..., i] > pd[i])
+        eq &= out[..., i] == pd[i]
+    ge |= eq  # sum == p reduces to 0
+    borrow = np.zeros(s.shape[:-1], np.int64)
+    sub = np.empty_like(out)
+    for i in range(N_DIGITS):
+        t = out[..., i] - pd[i] - borrow
+        sub[..., i] = t & 0xFFFF
+        borrow = (t < 0).astype(np.int64)
+    return np.where(ge[..., None], sub, out).astype(np.uint32)
+
+
+def block_digests(blocks: np.ndarray, perm_fn) -> np.ndarray:
+    """(K, bs, N_DIGITS) canonical value blocks -> (K, N_DIGITS) leaf
+    digests. Sponge rule (the HSP2 leaf spec): capacity word
+    leaf_tag_int(bs); absorb ceil(bs/4) rate-4 chunks (zero-padded) — add
+    into words 1..4, permute — digest = word DIGEST_INDEX of the final
+    state. One batched permutation per chunk for any K."""
+    blocks = np.asarray(blocks, np.uint32)
+    if blocks.ndim != 3 or blocks.shape[2] != N_DIGITS:
+        raise ValueError(f"blocks must be (K, bs, {N_DIGITS})")
+    k, bs = blocks.shape[0], blocks.shape[1]
+    if k == 0:
+        return np.zeros((0, N_DIGITS), np.uint32)
+    n_chunks = max(1, -(-bs // 4))
+    pad = n_chunks * 4 - bs
+    if pad:
+        blocks = np.concatenate(
+            [blocks, np.zeros((k, pad, N_DIGITS), np.uint32)], axis=1
+        )
+    from .params import int_to_digits
+
+    state = np.zeros((k, 5, N_DIGITS), np.uint32)
+    state[:, 0] = int_to_digits(leaf_tag_int(bs))
+    for c in range(n_chunks):
+        state[:, 1:5] = add_mod_digits_np(
+            state[:, 1:5], blocks[:, 4 * c : 4 * c + 4]
+        )
+        state = np.asarray(perm_fn(state)).astype(np.uint32)
+    return state[:, DIGEST_INDEX]
+
+
+def multiproof_plan(indices, height: int) -> list[list[int]]:
+    """Canonical pruned-node plan for a batched opening: per level, the
+    node indices whose digests the proof must supply for the verifier to
+    climb from the (sorted, deduplicated) opened positions to the root.
+    At each level every 4-child group containing a known node needs only
+    its unknown children; nodes derivable from another opened path are
+    never shipped. Order within a level: ascending node index — canonical
+    on both sides, so NO positions travel on the wire (the verifier
+    rebuilds this plan from its own transcript-derived indices)."""
+    known = sorted({int(i) for i in indices})
+    plan = []
+    for _ in range(height):
+        kset = set(known)
+        groups = sorted({i >> 2 for i in known})
+        plan.append(
+            [ARITY * g + j for g in groups for j in range(ARITY)
+             if ARITY * g + j not in kset]
+        )
+        known = groups
+    return plan
+
+
+def multiproof_nodes_total(indices, height: int) -> int:
+    return sum(len(lvl) for lvl in multiproof_plan(indices, height))
+
+
+def multiproof_open(levels, indices) -> np.ndarray:
+    """Pruned sibling set for the sorted-unique opened positions:
+    (total, N_DIGITS) digits in multiproof_plan order."""
+    height = len(levels) - 1
+    plan = multiproof_plan(indices, height)
+    parts = [np.asarray(levels[lvl])[need]
+             for lvl, need in enumerate(plan) if need]
+    if not parts:
+        return np.zeros((0, N_DIGITS), np.uint32)
+    return np.concatenate(parts).astype(np.uint32)
+
+
+def multiproof_verify_many(entries, perm_fn) -> np.ndarray:
+    """Verify many pruned batched openings with POOLED hashing: at each
+    level step, every still-active entry's 4-child groups join ONE
+    batched permutation call (entries with shorter trees simply retire
+    early), so the call count is max(height), independent of how many
+    trees/proofs are pooled.
+
+    entries: (root, leaf_digests, indices, nodes, height) per entry —
+    root an int or (N_DIGITS,) digits; leaf_digests (U, N_DIGITS) for the
+    sorted-unique indices; nodes (total, N_DIGITS) in multiproof_plan
+    order. Returns (len(entries),) bool; malformed entries are False."""
+    n = len(entries)
+    ok = np.ones(n, bool)
+    state = []
+    for e_i, (root, leaf_dig, idx, nodes, height) in enumerate(entries):
+        idx = [int(i) for i in idx]
+        leaf_dig = np.asarray(leaf_dig, np.uint32)
+        nodes = np.asarray(nodes, np.uint32).reshape(-1, N_DIGITS)
+        plan = multiproof_plan(idx, height)
+        total = sum(len(lvl) for lvl in plan)
+        if (not idx or sorted(set(idx)) != idx or min(idx) < 0
+                or max(idx) >= ARITY ** height
+                or leaf_dig.shape != (len(idx), N_DIGITS)
+                or nodes.shape != (total, N_DIGITS)):
+            ok[e_i] = False
+            continue
+        state.append({
+            "i": e_i, "plan": plan, "nodes": nodes, "off": 0,
+            "idx": np.asarray(idx, np.int64), "dig": leaf_dig,
+            "height": height, "root": root,
+        })
+    max_h = max((s["height"] for s in state), default=0)
+    tag_row = _tag_digits()
+    for lvl in range(max_h):
+        active = [s for s in state if s["height"] > lvl]
+        if not active:
+            break
+        batches = []
+        for s in active:
+            need = s["plan"][lvl]
+            sup = s["nodes"][s["off"] : s["off"] + len(need)]
+            s["off"] += len(need)
+            all_idx = np.concatenate(
+                [s["idx"], np.asarray(need, np.int64)]
+            )
+            all_dig = (np.concatenate([s["dig"], sup])
+                       if len(need) else s["dig"])
+            order = np.argsort(all_idx, kind="stable")
+            all_dig = all_dig[order]
+            s["idx"] = all_idx[order][::ARITY] >> 2
+            batches.append(all_dig.reshape(-1, ARITY, N_DIGITS))
+        sizes = [x.shape[0] for x in batches]
+        groups = np.concatenate(batches)
+        tag = np.broadcast_to(tag_row, (groups.shape[0], 1, N_DIGITS))
+        states = np.concatenate([tag, groups], axis=1).astype(np.uint32)
+        out = np.asarray(perm_fn(states))[:, DIGEST_INDEX].astype(np.uint32)
+        offi = 0
+        for s, sz in zip(active, sizes):
+            s["dig"] = out[offi : offi + sz]
+            offi += sz
+    for s in state:
+        root = s["root"]
+        root_digits = (
+            ints_to_digits([int(root)], shape=(1,))[0]
+            if isinstance(root, (int, np.integer))
+            else np.asarray(root, np.uint32)
+        )
+        ok[s["i"]] = (s["dig"].shape[0] == 1
+                      and bool(np.array_equal(s["dig"][0], root_digits)))
+    return ok
+
+
+def multiproof_verify(root, leaf_digests, indices, nodes, height: int,
+                      perm_fn) -> bool:
+    return bool(multiproof_verify_many(
+        [(root, leaf_digests, indices, nodes, height)], perm_fn
+    )[0])
+
+
+# ---------------------------------------------------------------------------
+# Proof-of-work grinding (ethSTARK-style: ~pow_bits soundness bits per
+# transcript attempt, letting n_queries shrink at equal claimed level)
+# ---------------------------------------------------------------------------
+
+
+def pow_mask_ok(value: int, pow_bits: int) -> bool:
+    return (int(value) & ((1 << pow_bits) - 1)) == 0
+
+
+def _grind_search(state_digits: np.ndarray, pow_bits: int, perm_fn,
+                  batch: int) -> int:
+    """Smallest nonce n >= 0 with perm(state + n*e1)[1] ending in
+    pow_bits zero bits — the value Transcript.challenge() would return
+    after absorb(n). Batched over candidates (one permutation per
+    candidate, checked on raw digits without int materialization)."""
+    if pow_bits == 0:
+        return 0
+    if not 0 <= pow_bits <= 32:
+        raise ValueError("pow_bits must be in [0, 32]")
+    mask = (1 << pow_bits) - 1
+    base = np.broadcast_to(
+        np.asarray(state_digits, np.uint32), (batch, 5, N_DIGITS)
+    )
+    start = 0
+    while True:
+        nonces = np.arange(start, start + batch, dtype=np.int64)
+        nd = np.zeros((batch, N_DIGITS), np.uint32)
+        for i in range(4):  # nonce < 2^64 by construction
+            nd[:, i] = (nonces >> (16 * i)) & 0xFFFF
+        states = base.copy()
+        states[:, 1] = add_mod_digits_np(states[:, 1], nd)
+        out = np.asarray(perm_fn(states))
+        low = (out[:, 1, 0].astype(np.int64)
+               | (out[:, 1, 1].astype(np.int64) << 16))
+        hits = np.nonzero((low & mask) == 0)[0]
+        if hits.size:
+            return int(start + hits[0])
+        start += batch
+
+
+def grind_transcript(tr, pow_bits: int, perm_fn=None,
+                     batch: int = 4096, search_fn=None) -> int:
+    """Grind lever (c): find the smallest nonce such that absorbing it
+    makes the transcript's next challenge end in pow_bits zero bits;
+    absorb it and consume the check challenge. Deterministic — host and
+    device provers find the same nonce, so proofs stay bit-identical.
+    The verifier replays: absorb(proof.pow_nonce), then
+    pow_mask_ok(challenge(), pow_bits). search_fn(state_digits) overrides
+    the search backend (fri_tpu supplies a device batch)."""
+    if perm_fn is None:
+        perm_fn = default_pcs_perm()
+    state = ints_to_digits(tr.state, shape=(5,))
+    if search_fn is not None:
+        nonce = int(search_fn(state))
+    else:
+        nonce = _grind_search(state, pow_bits, perm_fn, batch)
+    tr.absorb(nonce)
+    c = tr.challenge()
+    if not pow_mask_ok(c, pow_bits):
+        raise AssertionError("grind search returned a non-working nonce")
+    return nonce
+
+
+def layer_schedule(n_folds: int) -> list[tuple[int, int]]:
+    """Committed FRI layers and their block widths: quad blocks (the
+    opened block carries the coset {b, b+m/4, b+m/2, b+3m/4}, verifying
+    TWO fold steps per opening) while >= 2 folds remain, a final pair
+    block when parity leaves a single fold. Halves the committed tree
+    count vs per-fold commitment at equal checkable structure."""
+    out, k = [], 1
+    while k < n_folds:
+        if n_folds - k >= 2:
+            out.append((k, 4))
+            k += 2
+        else:
+            out.append((k, 2))
+            k += 1
+    return out
+
+
+def layer_positions(q: int, m0: int, sched) -> list[int]:
+    """Per committed layer, the opened block position for query q (the
+    fold-path index chain: i_1 = q; a (k, bs) layer maps i_k to block
+    b = i_k mod (m_k/bs) and re-enters the chain at i_{k+log2(bs)} = b)."""
+    i, out = int(q), []
+    for k, bs in sched:
+        b = i % ((m0 >> k) // bs)
+        out.append(b)
+        i = b
+    return out
+
+
+# ---------------------------------------------------------------------------
 # FRI parameters + folding
 # ---------------------------------------------------------------------------
 

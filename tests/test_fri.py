@@ -384,3 +384,192 @@ def test_proof_size_sublinear(preimage_succinct, tiny_setup):
     assert size_p < 4 * size_t
     transparent_p = 9 * n_p  # wires 4n + z n + t 4n
     assert size_p < transparent_p
+
+
+# -- HSP2 primitives: leaf-block digests, multiproofs, grinding ---------------
+
+
+def test_add_mod_digits_matches_bigint(rng):
+    from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+
+    vals_a = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(64)]
+    vals_b = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(64)]
+    # include boundary cases: p-1 + 1 == 0, 0 + 0, p-1 + p-1
+    vals_a += [P - 1, 0, P - 1]
+    vals_b += [1, 0, P - 1]
+    a = ints_to_digits(vals_a, shape=(len(vals_a),))
+    b = ints_to_digits(vals_b, shape=(len(vals_b),))
+    out = fri.add_mod_digits_np(a, b)
+    expect = [(x + y) % P for x, y in zip(vals_a, vals_b)]
+    assert [int(v) for v in digits_to_ints(out)] == expect
+
+
+def test_block_digests_match_sponge_spec(rng):
+    # oracle: the leaf digest is a plain rate-4 Hades sponge with the
+    # documented capacity tag, run here on Python ints
+    from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
+
+    strat = ScalarStrategy()
+    for bs in (1, 2, 4, 8, 20):
+        blocks = [
+            [int.from_bytes(rng.bytes(40), "little") % P for _ in range(bs)]
+            for _ in range(5)
+        ]
+        digits = ints_to_digits(
+            [v for b in blocks for v in b], shape=(5, bs)
+        )
+        got = [int(v) for v in digits_to_ints(fri.block_digests(digits, PERM))]
+        for blk, g in zip(blocks, got):
+            state = [fri.leaf_tag_int(bs), 0, 0, 0, 0]
+            vals = blk + [0] * ((-len(blk)) % 4)
+            for c in range(0, len(vals), 4):
+                for j in range(4):
+                    state[1 + j] = (state[1 + j] + vals[c + j]) % P
+                state = strat.perm(state)
+            assert g == state[fri.DIGEST_INDEX]
+
+
+def test_multiproof_roundtrip(rng):
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(200)]
+    digits = ints_to_digits(vals, shape=(len(vals),))
+    levels = fri.tree_build_digits(digits, PERM)
+    root = fri.tree_root(levels)
+    height = len(levels) - 1
+    for idx in ([0], [199], [0, 1, 2, 3], [5, 63, 64, 120, 199],
+                sorted(set(int(v) % 200 for v in rng.integers(0, 200, 40)))):
+        nodes = fri.multiproof_open(levels, idx)
+        leaf = digits[idx]
+        assert fri.multiproof_verify(root, leaf, idx, nodes, height, PERM)
+        # tampering any supplied node must fail
+        if nodes.shape[0]:
+            bad = nodes.copy()
+            bad[0, 0] ^= 1
+            assert not fri.multiproof_verify(root, leaf, idx, bad, height,
+                                             PERM)
+        # tampering any opened leaf must fail
+        bad_leaf = leaf.copy()
+        bad_leaf[0, 0] ^= 1
+        assert not fri.multiproof_verify(root, bad_leaf, idx, nodes, height,
+                                         PERM)
+
+
+def test_multiproof_prunes_shared_paths(rng):
+    # all 4 children of one group opened: level-0 contributes NOTHING for
+    # that group, and the shared upper path is shipped once — strictly
+    # fewer digests than 4 independent paths
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(64)]
+    digits = ints_to_digits(vals, shape=(64,))
+    levels = fri.tree_build_digits(digits, PERM)
+    height = len(levels) - 1  # 3
+    idx = [8, 9, 10, 11]  # one full group
+    plan = fri.multiproof_plan(idx, height)
+    assert plan[0] == []  # nothing supplied at leaf level
+    total = fri.multiproof_nodes_total(idx, height)
+    naive = len(idx) * height * (fri.ARITY - 1)  # 36
+    assert total == 6  # 3 siblings at level 1 + 3 at level 2
+    assert total < naive
+    # node-substitution attack: a VALID sibling moved to another slot
+    nodes = fri.multiproof_open(levels, idx)
+    swapped = nodes.copy()
+    swapped[[0, 1]] = swapped[[1, 0]]
+    ok = fri.multiproof_verify(fri.tree_root(levels), digits[idx], idx,
+                               swapped, height, PERM)
+    assert not ok
+
+
+def test_multiproof_structural_rejects(rng):
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(64)]
+    digits = ints_to_digits(vals, shape=(64,))
+    levels = fri.tree_build_digits(digits, PERM)
+    root = fri.tree_root(levels)
+    height = len(levels) - 1
+    idx = [3, 17]
+    nodes = fri.multiproof_open(levels, idx)
+    # unsorted / duplicate / out-of-range indices, truncated + padded nodes
+    assert not fri.multiproof_verify(root, digits[[17, 3]], [17, 3],
+                                     nodes, height, PERM)
+    assert not fri.multiproof_verify(root, digits[[3, 3]], [3, 3],
+                                     nodes, height, PERM)
+    assert not fri.multiproof_verify(root, digits[[3, 17]], [3, 64],
+                                     nodes, height, PERM)
+    assert not fri.multiproof_verify(root, digits[idx], idx, nodes[:-1],
+                                     height, PERM)
+    assert not fri.multiproof_verify(
+        root, digits[idx], idx,
+        np.concatenate([nodes, nodes[:1]]), height, PERM)
+
+
+def test_multiproof_verify_many_pools_heights(rng):
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    entries = []
+    expect = []
+    for size, idx, tamper in ((16, [0, 5], False), (64, [1, 2, 63], True),
+                              (256, [7], False), (1, [0], False)):
+        vals = [int.from_bytes(rng.bytes(40), "little") % P
+                for _ in range(size)]
+        digits = ints_to_digits(vals, shape=(size,))
+        levels = fri.tree_build_digits(digits, PERM)
+        nodes = fri.multiproof_open(levels, idx)
+        leaf = digits[idx].copy()
+        if tamper:
+            leaf[0, 0] ^= 1
+        entries.append((fri.tree_root(levels), leaf, idx, nodes,
+                        len(levels) - 1))
+        expect.append(not tamper)
+    ok = fri.multiproof_verify_many(entries, PERM)
+    assert list(ok) == expect
+
+
+def test_grind_transcript_deterministic():
+    tr1 = plonk.Transcript()
+    tr1.absorb(12345)
+    tr2 = plonk.Transcript()
+    tr2.absorb(12345)
+    nonce1 = fri.grind_transcript(tr1, 6, PERM, batch=32)
+    nonce2 = fri.grind_transcript(tr2, 6, PERM, batch=256)
+    assert nonce1 == nonce2  # batch size can't change the (smallest) nonce
+    assert tr1.state == tr2.state
+    # verifier replay: absorb nonce, check the challenge's low bits
+    tr3 = plonk.Transcript()
+    tr3.absorb(12345)
+    tr3.absorb(nonce1)
+    assert fri.pow_mask_ok(tr3.challenge(), 6)
+    assert tr3.state == tr1.state
+    # pow_bits=0 is the degenerate uniform case: nonce 0, still absorbed
+    tr4 = plonk.Transcript()
+    assert fri.grind_transcript(tr4, 0, PERM) == 0
+
+
+def test_layer_schedule_covers_all_folds():
+    for n_folds in range(1, 12):
+        sched = fri.layer_schedule(n_folds)
+        # layers strictly increasing from 1; fold coverage exact
+        k = 1
+        for layer, bs in sched:
+            assert layer == k
+            assert bs in (2, 4)
+            k += bs.bit_length() - 1
+        assert k == n_folds
+    assert fri.layer_schedule(1) == []
+    assert fri.layer_schedule(2) == [(1, 2)]
+    assert fri.layer_schedule(3) == [(1, 4)]
+    assert fri.layer_schedule(4) == [(1, 4), (3, 2)]
+    assert fri.layer_schedule(9) == [(1, 4), (3, 4), (5, 4), (7, 4)]
+
+
+def test_layer_positions_chain():
+    m0 = 1 << 10
+    sched = fri.layer_schedule(6)  # [(1,4), (3,4), (5,2)]
+    q = 397
+    out = fri.layer_positions(q, m0, sched)
+    b1 = q % ((m0 >> 1) // 4)
+    b3 = b1 % ((m0 >> 3) // 4)
+    b5 = b3 % ((m0 >> 5) // 2)
+    assert out == [b1, b3, b5]
