@@ -13,14 +13,21 @@ Conventions (all little-endian):
     reference src/lib.rs:33-44) — non-canonical (>= p) encodings are
     REJECTED on read, mirroring `BlsScalar::from_bytes` returning None;
   * Merkle digests: the digest's canonical field-element encoding;
-  * Merkle positions: one byte each, range-checked < ARITY on read;
-  * every size/shape is derived from the `VerifyingKey`'s (n, FriParams)
-    schema — a proof that deserializes is structurally well-formed, and
-    trailing bytes, truncation, or a header that disagrees with the key
-    are hard `ValueError`s, never silent acceptance.
+  * NO Merkle positions travel on the wire: the verifier derives every
+    opened index from the transcript and rebuilds the pruned multiproof
+    plan itself (fri.multiproof_plan) — a supplied position would be
+    pure attack surface;
+  * opened values are stored per SORTED-UNIQUE index (u16 count), pruned
+    node sets per tree carry an explicit u32 count; the verifier later
+    rejects any count that disagrees with its derived plan;
+  * every other size/shape is derived from the `VerifyingKey`'s
+    (n, FriParams) schema — trailing bytes, truncation, or a header that
+    disagrees with the key are hard `ValueError`s, never silent
+    acceptance.
 
-The layout is versioned by magic tags (HSP1 = Hades Succinct Proof v1,
-HVK1 = Hades Verifying Key v1).
+The layout is versioned by magic tags (HSP2 = Hades Succinct Proof v2 —
+v1 shipped per-leaf sibling paths and positions; v2's pruned multiproof
+layout is ~7x smaller at production parameters — HVK2 / HAP2 likewise).
 """
 
 from __future__ import annotations
@@ -31,15 +38,14 @@ import numpy as np
 
 from .fri import (
     ARITY,
-    EVAL_ORDER,
     FriParams,
     FriProof,
-    SELECTOR_NAMES,
-    SIGMA_NAMES,
     SuccinctProof,
+    TREE_ORDER,
     VerifyingKey,
-    _bounds,
-    _tree_height,
+    eval_order,
+    proof_schema,
+    tree_columns,
 )
 from .params import N_DIGITS
 from .utils.encoding import (
@@ -49,98 +55,103 @@ from .utils.encoding import (
     scalar_to_bytes,
 )
 
-MAGIC_PROOF = b"HSP1"
-MAGIC_VK = b"HVK1"
-MAGIC_AGG = b"HAP1"
+MAGIC_PROOF = b"HSP2"
+MAGIC_VK = b"HVK2"
+MAGIC_AGG = b"HAP2"
 
 #: Wire order of the proof's own commitment roots.
-ROOT_NAMES = ("a", "b", "o", "d", "z", "t")
-#: Wire order of the per-polynomial layer-0 opening blocks.
-OPEN_ORDER = ROOT_NAMES + SELECTOR_NAMES + SIGMA_NAMES
+ROOT_NAMES = ("w", "z", "t")
 
-_PROOF_HEADER = struct.Struct("<IIIIBH")  # n, blowup, q, final_degree, zk, n_final
-_VK_HEADER = struct.Struct("<IIIIIB")  # n, n_gates, blowup, q, final_degree, zk
-# n, blowup, q, final_degree, zk, n_final, n_instances
-_AGG_HEADER = struct.Struct("<IIIIBHI")
-#: Wire order of the shared key opening blocks (10 preprocessed trees).
-KEY_ORDER = SELECTOR_NAMES + SIGMA_NAMES
+# n, blowup, q, final_degree, pow_bits, zk, n_final
+_PROOF_HEADER = struct.Struct("<IIIIBBH")
+# n, n_gates, blowup, q, final_degree, pow_bits, zk
+_VK_HEADER = struct.Struct("<IIIIIBB")
+# n, blowup, q, final_degree, pow_bits, zk, n_final, n_instances
+_AGG_HEADER = struct.Struct("<IIIIBBHI")
+_U16 = struct.Struct("<H")
+_U32 = struct.Struct("<I")
+_U64 = struct.Struct("<Q")
 
 
-def _schema(n: int, params: FriParams):
-    """Derived shape facts shared by prover/verifier/serializer: the L0
-    size m0, effective final degree, fold count, and tree heights."""
-    d_bound = _bounds(n, params)["D"]
-    m0 = params.blowup * d_bound
-    final_degree = min(params.final_degree, d_bound // 2)
-    n_folds = (d_bound // final_degree).bit_length() - 1
-    h0 = _tree_height(m0)
-    heights = [_tree_height(m0 >> k) for k in range(1, n_folds)]
-    return m0, final_degree, n_folds, h0, heights
+def _tree_block_sizes(params: FriParams) -> dict:
+    return {name: 2 * len(cols)
+            for name, cols in tree_columns(params.zk).items()}
 
 
 def expected_proof_size(n: int, params: FriParams,
                         n_final: int | None = None) -> int:
-    """Exact serialized size in bytes (header included). `n_final` is the
-    final-layer coefficient count; the honest prover always emits the
-    effective final degree (the default)."""
-    _, final_degree, n_folds, h0, heights = _schema(n, params)
+    """Upper bound on the serialized size in bytes (header included):
+    assumes all n_queries indices distinct and zero cross-path merging —
+    real proofs are smaller (multiproof pruning merges paths toward the
+    root; `len(proof_to_bytes(...))` is the exact figure)."""
+    schema = proof_schema(n, params)
     if n_final is None:
-        n_final = final_degree
+        n_final = schema["final_degree"]
     q = params.n_queries
+    sizes = _tree_block_sizes(params)
+
+    def worst_nodes(height: int) -> int:
+        # level l has 4^(height-l) slots; <= q covered groups, each
+        # supplying <= ARITY-1 children
+        return sum(
+            (ARITY - 1) * min(q, ARITY ** (height - lvl - 1))
+            for lvl in range(height)
+        )
+
     size = len(MAGIC_PROOF) + _PROOF_HEADER.size
-    size += 32 * (len(ROOT_NAMES) + len(EVAL_ORDER) + (n_folds - 1) + n_final)
-    per_path = lambda h: q * 2 * 32 + 2 * q * h * (ARITY - 1) * 32 + 2 * q * h
-    size += len(OPEN_ORDER) * per_path(h0)
-    size += sum(per_path(h) for h in heights)
+    size += 32 * (len(ROOT_NAMES) + len(eval_order(params.zk))
+                  + len(schema["sched"]) + n_final)
+    size += _U64.size  # pow nonce
+    size += _U16.size  # n_unique0
+    for name in TREE_ORDER:
+        size += q * sizes[name] * 32
+        size += _U32.size + worst_nodes(schema["h_pos"]) * 32
+    for (k, bs), h in zip(schema["sched"], schema["layer_heights"]):
+        size += _U16.size + q * bs * 32
+        size += _U32.size + worst_nodes(h) * 32
     return size
 
 
-def _poss_bytes(poss, height: int, q: int) -> bytes:
-    arr = np.asarray(poss)
-    if arr.shape != (2 * q, height):
-        raise ValueError(f"position block shape {arr.shape} != {(2 * q, height)}")
-    if arr.size and (arr.min() < 0 or arr.max() >= ARITY):
-        raise ValueError("Merkle position out of range")
-    return arr.astype(np.uint8).tobytes()
-
-
-def _sibs_bytes(sibs, height: int, q: int) -> bytes:
-    arr = np.asarray(sibs)
-    if arr.shape != (2 * q, height, ARITY - 1, N_DIGITS):
+def _blocks_bytes(blocks, bs: int, q: int, u: int) -> bytes:
+    if len(blocks) != u or any(len(b) != bs for b in blocks):
         raise ValueError(
-            f"sibling block shape {arr.shape} != "
-            f"{(2 * q, height, ARITY - 1, N_DIGITS)}"
+            f"opened-block set must be ({u}, {bs}) canonical values"
         )
-    return digits_to_bytes(arr)
+    return b"".join(scalar_to_bytes(int(v)) for b in blocks for v in b)
 
 
-def _values_bytes(vals, q: int) -> bytes:
-    if len(vals) != q or any(len(v) != 2 for v in vals):
-        raise ValueError("opened-value block must be (n_queries, 2)")
-    return b"".join(scalar_to_bytes(int(v)) for pair in vals for v in pair)
+def _nodes_bytes(nodes, height: int, q: int) -> bytes:
+    arr = np.asarray(nodes, np.uint32).reshape(-1, N_DIGITS)
+    if arr.shape[0] > (ARITY - 1) * height * q:
+        raise ValueError("pruned node set larger than any valid plan")
+    return _U32.pack(arr.shape[0]) + digits_to_bytes(arr)
 
 
 def proof_to_bytes(proof: SuccinctProof, vk: VerifyingKey) -> bytes:
     """Serialize a succinct proof against the key's schema. Malformed
-    structure (wrong shapes, out-of-range positions, non-canonical
-    values) raises instead of producing undecodable bytes."""
+    structure (wrong shapes, non-canonical values, impossible node
+    counts) raises instead of producing undecodable bytes."""
     params = vk.params
-    _, final_degree, n_folds, h0, heights = _schema(vk.n, params)
+    schema = proof_schema(vk.n, params)
     q = params.n_queries
+    sizes = _tree_block_sizes(params)
     n_final = len(proof.fri.final_coeffs)
-    if n_final > final_degree:
+    if n_final > schema["final_degree"]:
         raise ValueError("final_coeffs exceeds the effective final degree")
-    if len(proof.fri.layer_roots) != n_folds - 1:
+    if len(proof.fri.layer_roots) != len(schema["sched"]):
         raise ValueError("layer_roots count disagrees with the key schema")
+    u0 = len(proof.open_blocks.get("w", ()))
+    if not 1 <= u0 <= q:
+        raise ValueError("opened-position count out of range")
     out = bytearray()
     out += MAGIC_PROOF
     out += _PROOF_HEADER.pack(vk.n, params.blowup, q, params.final_degree,
-                              int(params.zk), n_final)
+                              params.pow_bits, int(params.zk), n_final)
     for name in ROOT_NAMES:
         if name not in proof.roots:
             raise ValueError(f"missing commitment root {name!r}")
         out += scalar_to_bytes(int(proof.roots[name]))
-    for name in EVAL_ORDER:
+    for name in eval_order(params.zk):
         if name not in proof.evals:
             raise ValueError(f"missing claimed evaluation {name!r}")
         out += scalar_to_bytes(int(proof.evals[name]))
@@ -148,21 +159,25 @@ def proof_to_bytes(proof: SuccinctProof, vk: VerifyingKey) -> bytes:
         out += scalar_to_bytes(int(root))
     for c in proof.fri.final_coeffs:
         out += scalar_to_bytes(int(c))
-    for name in OPEN_ORDER:
-        if (name not in proof.open_values or name not in proof.open_sibs
-                or name not in proof.open_poss):
-            raise ValueError(f"missing opening block {name!r}")
-        out += _values_bytes(proof.open_values[name], q)
-        out += _sibs_bytes(proof.open_sibs[name], h0, q)
-        out += _poss_bytes(proof.open_poss[name], h0, q)
-    for part in (proof.fri.layer_values, proof.fri.layer_sibs,
-                 proof.fri.layer_poss):
-        if len(part) != n_folds - 1:
+    out += _U64.pack(int(proof.pow_nonce))
+    out += _U16.pack(u0)
+    for name in TREE_ORDER:
+        if (name not in proof.open_blocks
+                or name not in proof.open_nodes):
+            raise ValueError(f"missing opening for tree {name!r}")
+        out += _blocks_bytes(proof.open_blocks[name], sizes[name], q, u0)
+        out += _nodes_bytes(proof.open_nodes[name], schema["h_pos"], q)
+    for part in (proof.fri.layer_blocks, proof.fri.layer_nodes):
+        if len(part) != len(schema["sched"]):
             raise ValueError("FRI layer blocks disagree with the key schema")
-    for k, h in enumerate(heights):
-        out += _values_bytes(proof.fri.layer_values[k], q)
-        out += _sibs_bytes(proof.fri.layer_sibs[k], h, q)
-        out += _poss_bytes(proof.fri.layer_poss[k], h, q)
+    for li, ((k, bs), h) in enumerate(zip(schema["sched"],
+                                          schema["layer_heights"])):
+        u_k = len(proof.fri.layer_blocks[li])
+        if not 1 <= u_k <= q:
+            raise ValueError("layer opened-position count out of range")
+        out += _U16.pack(u_k)
+        out += _blocks_bytes(proof.fri.layer_blocks[li], bs, q, u_k)
+        out += _nodes_bytes(proof.fri.layer_nodes[li], h, q)
     return bytes(out)
 
 
@@ -184,22 +199,27 @@ class _Reader:
     def scalars(self, n: int) -> list[int]:
         return [self.scalar() for _ in range(n)]
 
-    def values(self, q: int) -> list[list[int]]:
-        flat = self.scalars(2 * q)
-        return [[flat[2 * i], flat[2 * i + 1]] for i in range(q)]
+    def u16(self) -> int:
+        return _U16.unpack(self.take(_U16.size))[0]
 
-    def sibs(self, height: int, q: int) -> np.ndarray:
-        raw = self.take(2 * q * height * (ARITY - 1) * 32)
+    def u32(self) -> int:
+        return _U32.unpack(self.take(_U32.size))[0]
+
+    def u64(self) -> int:
+        return _U64.unpack(self.take(_U64.size))[0]
+
+    def blocks(self, u: int, bs: int) -> list[list[int]]:
+        flat = self.scalars(u * bs)
+        return [flat[i * bs : (i + 1) * bs] for i in range(u)]
+
+    def nodes(self, height: int, q: int) -> np.ndarray:
+        count = self.u32()
+        if count > (ARITY - 1) * height * q:
+            raise ValueError("pruned node set larger than any valid plan")
+        raw = self.take(count * 32)
         # bytes_to_digits appends the trailing N_DIGITS axis itself;
         # it rejects non-canonical digests
-        return bytes_to_digits(raw, (2 * q, height, ARITY - 1))
-
-    def poss(self, height: int, q: int) -> np.ndarray:
-        raw = np.frombuffer(self.take(2 * q * height), np.uint8)
-        arr = raw.reshape(2 * q, height).astype(np.int32)
-        if arr.size and arr.max() >= ARITY:
-            raise ValueError("Merkle position out of range")
-        return arr
+        return bytes_to_digits(raw, (count,))
 
     def done(self):
         if self.pos != len(self.data):
@@ -210,68 +230,71 @@ class _Reader:
 
 def proof_from_bytes(data: bytes, vk: VerifyingKey) -> SuccinctProof:
     """Strict inverse of `proof_to_bytes`: header must agree with the
-    key, every scalar must be canonical, every position in range, and
-    the byte count exact."""
+    key, every scalar canonical, every count within schema bounds, and
+    the byte count exact. Plan-exactness of the pruned node sets is the
+    verifier's job (it derives the indices from the transcript)."""
     r = _Reader(data)
     if r.take(len(MAGIC_PROOF)) != MAGIC_PROOF:
         raise ValueError("not a Hades succinct proof (bad magic)")
     params = vk.params
-    n, blowup, q, final_degree, zk, n_final = _PROOF_HEADER.unpack(
-        r.take(_PROOF_HEADER.size)
+    n, blowup, q, final_degree, pow_bits, zk, n_final = (
+        _PROOF_HEADER.unpack(r.take(_PROOF_HEADER.size))
     )
-    if (n, blowup, q, final_degree, bool(zk)) != (
+    if (n, blowup, q, final_degree, pow_bits, bool(zk)) != (
         vk.n, params.blowup, params.n_queries, params.final_degree,
-        params.zk,
+        params.pow_bits, params.zk,
     ):
         raise ValueError("proof header disagrees with the verifying key")
-    _, fd_eff, n_folds, h0, heights = _schema(vk.n, params)
-    if n_final > fd_eff:
+    schema = proof_schema(vk.n, params)
+    sizes = _tree_block_sizes(params)
+    if n_final > schema["final_degree"]:
         raise ValueError("final_coeffs exceeds the effective final degree")
     roots = {name: r.scalar() for name in ROOT_NAMES}
-    evals = {name: r.scalar() for name in EVAL_ORDER}
-    layer_roots = r.scalars(n_folds - 1)
+    evals = {name: r.scalar() for name in eval_order(params.zk)}
+    layer_roots = r.scalars(len(schema["sched"]))
     final_coeffs = r.scalars(n_final)
-    open_values, open_sibs, open_poss = {}, {}, {}
-    for name in OPEN_ORDER:
-        open_values[name] = r.values(q)
-        open_sibs[name] = r.sibs(h0, q)
-        open_poss[name] = r.poss(h0, q)
-    layer_values, layer_sibs, layer_poss = [], [], []
-    for h in heights:
-        layer_values.append(r.values(q))
-        layer_sibs.append(r.sibs(h, q))
-        layer_poss.append(r.poss(h, q))
+    pow_nonce = r.u64()
+    u0 = r.u16()
+    if not 1 <= u0 <= q:
+        raise ValueError("opened-position count out of range")
+    open_blocks, open_nodes = {}, {}
+    for name in TREE_ORDER:
+        open_blocks[name] = r.blocks(u0, sizes[name])
+        open_nodes[name] = r.nodes(schema["h_pos"], q)
+    layer_blocks, layer_nodes = [], []
+    for (k, bs), h in zip(schema["sched"], schema["layer_heights"]):
+        u_k = r.u16()
+        if not 1 <= u_k <= q:
+            raise ValueError("layer opened-position count out of range")
+        layer_blocks.append(r.blocks(u_k, bs))
+        layer_nodes.append(r.nodes(h, q))
     r.done()
     return SuccinctProof(
         roots=roots,
         evals=evals,
+        pow_nonce=pow_nonce,
         fri=FriProof(
             layer_roots=layer_roots,
             final_coeffs=final_coeffs,
-            layer_values=layer_values,
-            layer_sibs=layer_sibs,
-            layer_poss=layer_poss,
+            layer_blocks=layer_blocks,
+            layer_nodes=layer_nodes,
         ),
-        open_values=open_values,
-        open_sibs=open_sibs,
-        open_poss=open_poss,
+        open_blocks=open_blocks,
+        open_nodes=open_nodes,
     )
 
 
 def vk_to_bytes(vk: VerifyingKey) -> bytes:
-    """Serialize the verifier key (domain facts + statement digest +
-    preprocessed commitment roots); the reference analogue is moving
-    dusk-plonk's verifier data as bytes."""
+    """Serialize the verifier key (domain facts + statement digest + the
+    preprocessed block tree's single root); the reference analogue is
+    moving dusk-plonk's verifier data as bytes."""
     out = bytearray()
     out += MAGIC_VK
     out += _VK_HEADER.pack(vk.n, vk.n_gates, vk.params.blowup,
                            vk.params.n_queries, vk.params.final_degree,
-                           int(vk.params.zk))
+                           vk.params.pow_bits, int(vk.params.zk))
     out += scalar_to_bytes(int(vk.digest))
-    for name in SELECTOR_NAMES + SIGMA_NAMES:
-        if name not in vk.roots:
-            raise ValueError(f"missing preprocessed root {name!r}")
-        out += scalar_to_bytes(int(vk.roots[name]))
+    out += scalar_to_bytes(int(vk.k_root))
     return bytes(out)
 
 
@@ -283,91 +306,93 @@ def vk_from_bytes(data: bytes) -> VerifyingKey:
     r = _Reader(data)
     if r.take(len(MAGIC_VK)) != MAGIC_VK:
         raise ValueError("not a Hades verifying key (bad magic)")
-    n, n_gates, blowup, q, final_degree, zk = _VK_HEADER.unpack(
+    n, n_gates, blowup, q, final_degree, pow_bits, zk = _VK_HEADER.unpack(
         r.take(_VK_HEADER.size)
     )
     if n < 1 or n & (n - 1):
         raise ValueError("domain size must be a power of two")
     if not 0 < n_gates <= n:
         raise ValueError("gate count out of range for the domain")
-    params = FriParams(blowup=blowup, n_queries=q, final_degree=final_degree,
+    params = FriParams(blowup=blowup, n_queries=q,
+                       final_degree=final_degree, pow_bits=pow_bits,
                        zk=bool(zk))
     digest = r.scalar()
-    roots = {name: r.scalar() for name in SELECTOR_NAMES + SIGMA_NAMES}
+    k_root = r.scalar()
     r.done()
     return VerifyingKey(n=n, omega=_domain_root(n), n_gates=n_gates,
-                        digest=digest, roots=roots, params=params)
+                        digest=digest, k_root=k_root, params=params)
 
 
 # ---------------------------------------------------------------------------
-# Aggregated proofs (aggregate.py): HAP1
+# Aggregated proofs (aggregate.py): HAP2
 # ---------------------------------------------------------------------------
 
 
 def expected_aggregate_size(n: int, params: FriParams, n_instances: int,
                             n_final: int | None = None) -> int:
-    """Exact serialized size in bytes of an aggregated proof for
-    `n_instances` instances (header included)."""
-    from .aggregate import KEY_EVAL_ORDER, WIRE_EVAL_ORDER, WIRE_NAMES
+    """Upper bound on the serialized aggregate size in bytes (same
+    no-merging assumption as expected_proof_size)."""
+    from .aggregate import KEY_EVAL_ORDER, WIRE_EVAL_ORDER, agg_tree_specs
 
-    _, final_degree, n_folds, h0, heights = _schema(n, params)
+    schema = proof_schema(n, params)
     if n_final is None:
-        n_final = final_degree
+        n_final = schema["final_degree"]
     q = params.n_queries
+    specs = agg_tree_specs(params.zk, n_instances)
+
+    def worst_nodes(height: int) -> int:
+        return sum(
+            (ARITY - 1) * min(q, ARITY ** (height - lvl - 1))
+            for lvl in range(height)
+        )
+
     size = len(MAGIC_AGG) + _AGG_HEADER.size
     size += 32 * (
-        len(WIRE_NAMES)
+        len(ROOT_NAMES)
         + n_instances * len(WIRE_EVAL_ORDER)
         + len(KEY_EVAL_ORDER)
-        + (n_folds - 1)
+        + (1 if params.zk else 0)
+        + len(schema["sched"])
         + n_final
     )
-    path = lambda h: 2 * q * h * (ARITY - 1) * 32 + 2 * q * h
-    # wire block trees: B opened values per side, one shared path set
-    size += len(WIRE_NAMES) * (q * 2 * n_instances * 32 + path(h0))
-    # shared key trees: single-value openings
-    size += len(KEY_ORDER) * (q * 2 * 32 + path(h0))
-    size += sum(q * 2 * 32 + path(h) for h in heights)
+    size += _U64.size + _U16.size
+    for name in TREE_ORDER:
+        size += q * specs[name] * 32
+        size += _U32.size + worst_nodes(schema["h_pos"]) * 32
+    for (k, bs), h in zip(schema["sched"], schema["layer_heights"]):
+        size += _U16.size + q * bs * 32
+        size += _U32.size + worst_nodes(h) * 32
     return size
-
-
-def _block_values_bytes(vals, q: int, n_instances: int) -> bytes:
-    if len(vals) != q or any(
-        len(pair) != 2 or any(len(side) != n_instances for side in pair)
-        for pair in vals
-    ):
-        raise ValueError(
-            "block opened-value block must be (n_queries, 2, n_instances)"
-        )
-    return b"".join(
-        scalar_to_bytes(int(v)) for pair in vals for side in pair
-        for v in side
-    )
 
 
 def aggregate_to_bytes(proof, vk: VerifyingKey) -> bytes:
     """Serialize an `aggregate.AggregateProof` against the key's schema.
     Same strictness contract as `proof_to_bytes`."""
-    from .aggregate import KEY_EVAL_ORDER, WIRE_EVAL_ORDER, WIRE_NAMES
+    from .aggregate import KEY_EVAL_ORDER, WIRE_EVAL_ORDER, agg_tree_specs
 
     params = vk.params
-    _, final_degree, n_folds, h0, heights = _schema(vk.n, params)
+    schema = proof_schema(vk.n, params)
     q = params.n_queries
     n_inst = int(proof.n_instances)
     if n_inst < 1:
         raise ValueError("aggregate proof needs at least one instance")
     if len(proof.evals) != n_inst:
         raise ValueError("per-instance evaluation count != n_instances")
+    specs = agg_tree_specs(params.zk, n_inst)
     n_final = len(proof.fri.final_coeffs)
-    if n_final > final_degree:
+    if n_final > schema["final_degree"]:
         raise ValueError("final_coeffs exceeds the effective final degree")
-    if len(proof.fri.layer_roots) != n_folds - 1:
+    if len(proof.fri.layer_roots) != len(schema["sched"]):
         raise ValueError("layer_roots count disagrees with the key schema")
+    u0 = len(proof.open_blocks.get("w", ()))
+    if not 1 <= u0 <= q:
+        raise ValueError("opened-position count out of range")
     out = bytearray()
     out += MAGIC_AGG
     out += _AGG_HEADER.pack(vk.n, params.blowup, q, params.final_degree,
-                            int(params.zk), n_final, n_inst)
-    for name in WIRE_NAMES:
+                            params.pow_bits, int(params.zk), n_final,
+                            n_inst)
+    for name in ROOT_NAMES:
         if name not in proof.roots:
             raise ValueError(f"missing commitment root {name!r}")
         out += scalar_to_bytes(int(proof.roots[name]))
@@ -380,33 +405,33 @@ def aggregate_to_bytes(proof, vk: VerifyingKey) -> bytes:
         if name not in proof.key_evals:
             raise ValueError(f"missing key evaluation {name!r}")
         out += scalar_to_bytes(int(proof.key_evals[name]))
+    if params.zk:
+        if proof.r_eval is None:
+            raise ValueError("missing zk mask evaluation")
+        out += scalar_to_bytes(int(proof.r_eval))
     for root in proof.fri.layer_roots:
         out += scalar_to_bytes(int(root))
     for c in proof.fri.final_coeffs:
         out += scalar_to_bytes(int(c))
-    for name in WIRE_NAMES:
-        if (name not in proof.open_values or name not in proof.open_sibs
-                or name not in proof.open_poss):
-            raise ValueError(f"missing opening block {name!r}")
-        out += _block_values_bytes(proof.open_values[name], q, n_inst)
-        out += _sibs_bytes(proof.open_sibs[name], h0, q)
-        out += _poss_bytes(proof.open_poss[name], h0, q)
-    for name in KEY_ORDER:
-        if (name not in proof.key_open_values
-                or name not in proof.key_open_sibs
-                or name not in proof.key_open_poss):
-            raise ValueError(f"missing key opening block {name!r}")
-        out += _values_bytes(proof.key_open_values[name], q)
-        out += _sibs_bytes(proof.key_open_sibs[name], h0, q)
-        out += _poss_bytes(proof.key_open_poss[name], h0, q)
-    for part in (proof.fri.layer_values, proof.fri.layer_sibs,
-                 proof.fri.layer_poss):
-        if len(part) != n_folds - 1:
+    out += _U64.pack(int(proof.pow_nonce))
+    out += _U16.pack(u0)
+    for name in TREE_ORDER:
+        if (name not in proof.open_blocks
+                or name not in proof.open_nodes):
+            raise ValueError(f"missing opening for tree {name!r}")
+        out += _blocks_bytes(proof.open_blocks[name], specs[name], q, u0)
+        out += _nodes_bytes(proof.open_nodes[name], schema["h_pos"], q)
+    for part in (proof.fri.layer_blocks, proof.fri.layer_nodes):
+        if len(part) != len(schema["sched"]):
             raise ValueError("FRI layer blocks disagree with the key schema")
-    for k, h in enumerate(heights):
-        out += _values_bytes(proof.fri.layer_values[k], q)
-        out += _sibs_bytes(proof.fri.layer_sibs[k], h, q)
-        out += _poss_bytes(proof.fri.layer_poss[k], h, q)
+    for li, ((k, bs), h) in enumerate(zip(schema["sched"],
+                                          schema["layer_heights"])):
+        u_k = len(proof.fri.layer_blocks[li])
+        if not 1 <= u_k <= q:
+            raise ValueError("layer opened-position count out of range")
+        out += _U16.pack(u_k)
+        out += _blocks_bytes(proof.fri.layer_blocks[li], bs, q, u_k)
+        out += _nodes_bytes(proof.fri.layer_nodes[li], h, q)
     return bytes(out)
 
 
@@ -417,71 +442,65 @@ def aggregate_from_bytes(data: bytes, vk: VerifyingKey):
         AggregateProof,
         KEY_EVAL_ORDER,
         WIRE_EVAL_ORDER,
-        WIRE_NAMES,
+        agg_tree_specs,
     )
 
     r = _Reader(data)
     if r.take(len(MAGIC_AGG)) != MAGIC_AGG:
         raise ValueError("not a Hades aggregated proof (bad magic)")
     params = vk.params
-    n, blowup, q, final_degree, zk, n_final, n_inst = _AGG_HEADER.unpack(
-        r.take(_AGG_HEADER.size)
+    n, blowup, q, final_degree, pow_bits, zk, n_final, n_inst = (
+        _AGG_HEADER.unpack(r.take(_AGG_HEADER.size))
     )
-    if (n, blowup, q, final_degree, bool(zk)) != (
+    if (n, blowup, q, final_degree, pow_bits, bool(zk)) != (
         vk.n, params.blowup, params.n_queries, params.final_degree,
-        params.zk,
+        params.pow_bits, params.zk,
     ):
         raise ValueError("proof header disagrees with the verifying key")
     if n_inst < 1:
         raise ValueError("aggregate proof needs at least one instance")
-    _, fd_eff, n_folds, h0, heights = _schema(vk.n, params)
-    if n_final > fd_eff:
+    schema = proof_schema(vk.n, params)
+    specs = agg_tree_specs(params.zk, n_inst)
+    if n_final > schema["final_degree"]:
         raise ValueError("final_coeffs exceeds the effective final degree")
-    roots = {name: r.scalar() for name in WIRE_NAMES}
+    roots = {name: r.scalar() for name in ROOT_NAMES}
     evals = [
         {name: r.scalar() for name in WIRE_EVAL_ORDER}
         for _ in range(n_inst)
     ]
     key_evals = {name: r.scalar() for name in KEY_EVAL_ORDER}
-    layer_roots = r.scalars(n_folds - 1)
+    r_eval = r.scalar() if params.zk else None
+    layer_roots = r.scalars(len(schema["sched"]))
     final_coeffs = r.scalars(n_final)
-    open_values, open_sibs, open_poss = {}, {}, {}
-    for name in WIRE_NAMES:
-        flat = r.scalars(2 * q * n_inst)
-        open_values[name] = [
-            [flat[2 * n_inst * i : 2 * n_inst * i + n_inst],
-             flat[2 * n_inst * i + n_inst : 2 * n_inst * (i + 1)]]
-            for i in range(q)
-        ]
-        open_sibs[name] = r.sibs(h0, q)
-        open_poss[name] = r.poss(h0, q)
-    key_open_values, key_open_sibs, key_open_poss = {}, {}, {}
-    for name in KEY_ORDER:
-        key_open_values[name] = r.values(q)
-        key_open_sibs[name] = r.sibs(h0, q)
-        key_open_poss[name] = r.poss(h0, q)
-    layer_values, layer_sibs, layer_poss = [], [], []
-    for h in heights:
-        layer_values.append(r.values(q))
-        layer_sibs.append(r.sibs(h, q))
-        layer_poss.append(r.poss(h, q))
+    pow_nonce = r.u64()
+    u0 = r.u16()
+    if not 1 <= u0 <= q:
+        raise ValueError("opened-position count out of range")
+    open_blocks, open_nodes = {}, {}
+    for name in TREE_ORDER:
+        open_blocks[name] = r.blocks(u0, specs[name])
+        open_nodes[name] = r.nodes(schema["h_pos"], q)
+    layer_blocks, layer_nodes = [], []
+    for (k, bs), h in zip(schema["sched"], schema["layer_heights"]):
+        u_k = r.u16()
+        if not 1 <= u_k <= q:
+            raise ValueError("layer opened-position count out of range")
+        layer_blocks.append(r.blocks(u_k, bs))
+        layer_nodes.append(r.nodes(h, q))
     r.done()
     return AggregateProof(
         n_instances=n_inst,
         roots=roots,
         evals=evals,
         key_evals=key_evals,
+        r_eval=r_eval,
+        pow_nonce=pow_nonce,
         fri=FriProof(
             layer_roots=layer_roots,
             final_coeffs=final_coeffs,
-            layer_values=layer_values,
-            layer_sibs=layer_sibs,
-            layer_poss=layer_poss,
+            layer_blocks=layer_blocks,
+            layer_nodes=layer_nodes,
         ),
-        open_values=open_values,
-        open_sibs=open_sibs,
-        open_poss=open_poss,
-        key_open_values=key_open_values,
-        key_open_sibs=key_open_sibs,
-        key_open_poss=key_open_poss,
+        open_blocks=open_blocks,
+        open_nodes=open_nodes,
     )

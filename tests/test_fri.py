@@ -17,7 +17,7 @@ from hades252_tpu.strategy import ScalarStrategy
 PERM = fri.default_pcs_perm()
 #: Light parameters for CI (soundness bits don't matter for correctness
 #: tests; production defaults are FriParams() = blowup 8 / 40 queries).
-PARAMS = fri.FriParams(blowup=4, n_queries=6, final_degree=16)
+PARAMS = fri.FriParams(blowup=4, n_queries=6, final_degree=16, pow_bits=2)
 
 
 # -- commitment trees ---------------------------------------------------------
@@ -98,7 +98,7 @@ def tiny_setup():
     c.gate_mul(Constraint().mult(1).a(a).b(b))
     c.gate_add(Constraint().left(1).a(a).right(1).b(b).public(-8))
     pk, vk = fri.preprocess_succinct(
-        c, fri.FriParams(blowup=8, n_queries=8, final_degree=8)
+        c, fri.FriParams(blowup=8, n_queries=8, final_degree=8, pow_bits=4)
     )
     proof = fri.prove_succinct(c, pk)
     return c, pk, vk, proof
@@ -117,44 +117,66 @@ def test_tiny_wrong_pi_fails(tiny_setup):
 
 
 def test_tiny_tampered_eval_fails(tiny_setup):
+    from dataclasses import replace
+
     c, pk, vk, proof = tiny_setup
     evals = dict(proof.evals)
     evals["a"] = (evals["a"] + 1) % P
-    forged = fri.SuccinctProof(
-        roots=proof.roots, evals=evals, fri=proof.fri,
-        open_values=proof.open_values, open_sibs=proof.open_sibs,
-        open_poss=proof.open_poss,
-    )
+    forged = replace(proof, evals=evals)
     assert not fri.verify_succinct(vk, forged, [g.pi for g in c.gates])
 
 
 def test_tiny_tampered_opening_fails(tiny_setup):
-    # change one opened leaf value: the Merkle check catches it
+    # change one opened block value: the leaf digest / multiproof check
+    # catches it
+    from dataclasses import replace
+
     c, pk, vk, proof = tiny_setup
-    vals = {k: [list(p) for p in v] for k, v in proof.open_values.items()}
-    vals["z"][0][0] = (vals["z"][0][0] + 1) % P
-    forged = fri.SuccinctProof(
-        roots=proof.roots, evals=proof.evals, fri=proof.fri,
-        open_values=vals, open_sibs=proof.open_sibs,
-        open_poss=proof.open_poss,
-    )
+    blocks = {k: [list(b) for b in v] for k, v in proof.open_blocks.items()}
+    blocks["z"][0][0] = (blocks["z"][0][0] + 1) % P
+    forged = replace(proof, open_blocks=blocks)
     assert not fri.verify_succinct(vk, forged, [g.pi for g in c.gates])
 
 
+def test_tiny_tampered_nodes_fail(tiny_setup):
+    # tamper / swap / truncate the pruned multiproof node set
+    from dataclasses import replace
+
+    c, pk, vk, proof = tiny_setup
+    pi = [g.pi for g in c.gates]
+    nodes = np.asarray(proof.open_nodes["w"]).copy()
+    assert nodes.shape[0] > 0
+    nodes[0, 0] ^= 1
+    forged = replace(proof, open_nodes={**proof.open_nodes, "w": nodes})
+    assert not fri.verify_succinct(vk, forged, pi)
+    if nodes.shape[0] >= 2:  # valid digests in the wrong slots
+        swapped = np.asarray(proof.open_nodes["w"]).copy()
+        swapped[[0, 1]] = swapped[[1, 0]]
+        forged = replace(proof,
+                         open_nodes={**proof.open_nodes, "w": swapped})
+        assert not fri.verify_succinct(vk, forged, pi)
+    short = np.asarray(proof.open_nodes["w"])[:-1]
+    forged = replace(proof, open_nodes={**proof.open_nodes, "w": short})
+    assert not fri.verify_succinct(vk, forged, pi)
+
+
+def test_tiny_tampered_pow_nonce_fails(tiny_setup):
+    from dataclasses import replace
+
+    c, pk, vk, proof = tiny_setup
+    pi = [g.pi for g in c.gates]
+    assert pk.params.pow_bits > 0
+    forged = replace(proof, pow_nonce=proof.pow_nonce + 1)
+    assert not fri.verify_succinct(vk, forged, pi)
+
+
 def test_tiny_tampered_final_coeffs_fail(tiny_setup):
+    from dataclasses import replace
+
     c, pk, vk, proof = tiny_setup
     fc = list(proof.fri.final_coeffs)
     fc[0] = (fc[0] + 1) % P
-    forged_fri = fri.FriProof(
-        layer_roots=proof.fri.layer_roots, final_coeffs=fc,
-        layer_values=proof.fri.layer_values,
-        layer_sibs=proof.fri.layer_sibs, layer_poss=proof.fri.layer_poss,
-    )
-    forged = fri.SuccinctProof(
-        roots=proof.roots, evals=proof.evals, fri=forged_fri,
-        open_values=proof.open_values, open_sibs=proof.open_sibs,
-        open_poss=proof.open_poss,
-    )
+    forged = replace(proof, fri=replace(proof.fri, final_coeffs=fc))
     assert not fri.verify_succinct(vk, forged, [g.pi for g in c.gates])
 
 
@@ -170,7 +192,7 @@ def test_statement_substitution_fails(tiny_setup):
     c2.gate_mul(Constraint().mult(2).a(a).b(b))  # different selector
     c2.gate_add(Constraint().left(1).a(a).right(1).b(b).public(-8))
     _, vk2 = fri.preprocess_succinct(
-        c2, fri.FriParams(blowup=8, n_queries=8, final_degree=8)
+        c2, fri.FriParams(blowup=8, n_queries=8, final_degree=8, pow_bits=4)
     )
     assert not fri.verify_succinct(vk2, proof, [g.pi for g in c2.gates])
 
@@ -231,8 +253,9 @@ def test_zk_blinds_revealed_values(zk_setup):
     assert fri.verify_succinct(vk, p2, pi)
     for name in ("a", "b", "o", "d", "z"):
         assert p1.evals[name] != p2.evals[name]
-        assert p1.roots[name] != p2.roots[name]
-        assert p1.open_values[name] != p2.open_values[name]
+    for tree in ("w", "z", "t"):
+        assert p1.roots[tree] != p2.roots[tree]
+        assert p1.open_blocks[tree] != p2.open_blocks[tree]
 
 
 def test_zk_openings_differ_from_unblinded(zk_setup):
@@ -245,7 +268,11 @@ def test_zk_openings_differ_from_unblinded(zk_setup):
     _, wires = plonk._wire_polys(c, pk.key)
     m0 = pk.params.blowup * fri._bounds(pk.key.n, pk.params)["D"]
     unblinded = fri._coset_eval(list(wires[0]), m0, fri.G0)
-    opened = [v for pair in proof.open_values["a"] for v in pair]
+    # wire "a" sits in the w tree's first column of each side
+    nc = len(fri.tree_columns(True)["w"])
+    opened = [b[0] for b in proof.open_blocks["w"]] + [
+        b[nc] for b in proof.open_blocks["w"]
+    ]
     # recompute which indices were opened is transcript work; it suffices
     # that no opened value coincides with ANY unblinded evaluation (whp)
     assert not (set(opened) & set(unblinded))
@@ -256,10 +283,20 @@ def test_zk_openings_differ_from_unblinded(zk_setup):
 
 def test_security_bits():
     # production defaults hit the reference's claimed 117-120-bit level
-    # (reference README.md:37)
-    assert fri.FriParams().security_bits() == 120.0
+    # (reference README.md:37) UNDER THE LIST-DECODING-CAPACITY
+    # CONJECTURE; the proven (Johnson-bound) figure is reported
+    # separately and is roughly half the query bits (VERDICT r3
+    # missing #2: both figures explicit, neither mislabeled)
+    assert fri.FriParams().security_bits() == 121.0
+    assert fri.FriParams().proven_security_bits() == 68.5
+    # grinding contributes pow_bits to both figures
+    assert (fri.FriParams(pow_bits=0).security_bits()
+            == fri.FriParams().security_bits() - 16)
     # CI presets report honestly reduced soundness
-    assert fri.FriParams(blowup=4, n_queries=16).security_bits() == 32.0
+    assert fri.FriParams(blowup=4, n_queries=16,
+                         pow_bits=0).security_bits() == 32.0
+    assert fri.FriParams(blowup=4, n_queries=16,
+                         pow_bits=0).proven_security_bits() == 16.0
     # absurd query counts are capped by the field/Schwartz-Zippel term,
     # which shrinks as the domain grows
     capped = fri.FriParams(blowup=8, n_queries=10_000)
@@ -279,13 +316,11 @@ def test_verify_succinct_batched_matches_single(zk_setup):
     p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(20))
     p2 = fri.prove_succinct(c, pk, rng=np.random.default_rng(21))
     pi = [g.pi for g in c.gates]
+    from dataclasses import replace
+
     evals = dict(p2.evals)
     evals["a"] = (evals["a"] + 1) % P
-    p3 = fri.SuccinctProof(
-        roots=p2.roots, evals=evals, fri=p2.fri,
-        open_values=p2.open_values, open_sibs=p2.open_sibs,
-        open_poss=p2.open_poss,
-    )
+    p3 = replace(p2, evals=evals)
     bad_pi = list(pi)
     bad_pi[-1] = (bad_pi[-1] + 1) % P
     batch = [p1, p2, p3, p1]
@@ -304,30 +339,27 @@ def test_verify_batched_isolates_merkle_failure(zk_setup):
     p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(30))
     p2 = fri.prove_succinct(c, pk, rng=np.random.default_rng(31))
     pi = [g.pi for g in c.gates]
-    vals = {k: [list(pair) for pair in v] for k, v in p2.open_values.items()}
-    vals["z"][0][0] = (vals["z"][0][0] + 1) % P
-    forged = fri.SuccinctProof(
-        roots=p2.roots, evals=p2.evals, fri=p2.fri,
-        open_values=vals, open_sibs=p2.open_sibs, open_poss=p2.open_poss,
-    )
+    from dataclasses import replace
+
+    blocks = {k: [list(b) for b in v] for k, v in p2.open_blocks.items()}
+    blocks["z"][0][0] = (blocks["z"][0][0] + 1) % P
+    forged = replace(p2, open_blocks=blocks)
     verdicts = fri.verify_succinct_batched(vk, [forged, p1], [pi, pi])
     assert [bool(v) for v in verdicts] == [False, True]
 
 
 def test_verify_batched_structural_mangle_does_not_poison(zk_setup):
-    # a structurally-mangled proof (wrong sibling-block shape) is rejected
+    # a structurally-mangled proof (wrong pruned-node count) is rejected
     # in the prepare phase and must not break the pooled concatenation for
     # the rest of the batch
+    from dataclasses import replace
+
     c, pk, vk = zk_setup
     p1 = fri.prove_succinct(c, pk, rng=np.random.default_rng(40))
     pi = [g.pi for g in c.gates]
-    sibs = dict(p1.open_sibs)
-    sibs["a"] = np.asarray(p1.open_sibs["a"])[:, :-1]
-    mangled = fri.SuccinctProof(
-        roots=p1.roots, evals=p1.evals, fri=p1.fri,
-        open_values=p1.open_values, open_sibs=sibs,
-        open_poss=p1.open_poss,
-    )
+    nodes = dict(p1.open_nodes)
+    nodes["w"] = np.asarray(p1.open_nodes["w"])[:-1]
+    mangled = replace(p1, open_nodes=nodes)
     verdicts = fri.verify_succinct_batched(vk, [mangled, p1], [pi, pi])
     assert [bool(v) for v in verdicts] == [False, True]
 
@@ -573,3 +605,78 @@ def test_layer_positions_chain():
     b3 = b1 % ((m0 >> 3) // 4)
     b5 = b3 % ((m0 >> 5) // 2)
     assert out == [b1, b3, b5]
+
+
+# -- the zk leak ledger (VERDICT r3 weak #5: test the accounting itself) ------
+
+
+def test_zk_leak_ledger(zk_setup):
+    """Enumerate every evaluation a real zk proof reveals of each blinded
+    polynomial and check it against fri._bounds' blinding budget — the
+    statistical-hiding argument IS this ledger, so the test pins the
+    counts, not just 'two proofs differ'."""
+    c, pk, vk = zk_setup
+    params = pk.params
+    proof = fri.prove_succinct(c, pk, rng=np.random.default_rng(60))
+    pi = [g.pi for g in c.gates]
+    assert fri.verify_succinct(vk, proof, pi)
+    bounds = fri._bounds(pk.key.n, params)
+    schema = fri.proof_schema(pk.key.n, params)
+    q = params.n_queries
+    u0 = len(proof.open_blocks["w"])  # distinct opened positions
+    assert u0 <= q
+
+    # wires: direct openings at the 2*U0 points (x_q, -x_q) + 1 zeta
+    # evaluation; nothing else in the proof involves wires at fresh
+    # points (the quotient's opened values use wires only at the opened
+    # points). Budget: zkw coefficients hide up to zkw-1 evaluations.
+    wire_revealed = 2 * u0 + 1
+    assert wire_revealed < bounds["zkw"]
+
+    # z: 2*U0 direct + zeta + omega*zeta claimed + 2*U0 INDIRECT through
+    # the opened quotient values t(+-x_q) (t's formula reads z(omega*X)),
+    # all at distinct points w.h.p. Budget zkz.
+    z_revealed = 4 * u0 + 2
+    assert z_revealed < bounds["zkz"]
+
+    # the FRI interior: every committed layer's opened block entries and
+    # ALL final coefficients are functionals of the DEEP composition at
+    # points beyond the openings — they must fit inside the masking
+    # polynomial's free dimensions (D coefficients minus R's own 2*U0+1
+    # direct reveals). This is the bound _bounds enforces at parameter
+    # time; here it's re-checked against the proof's ACTUAL counts.
+    interior = sum(
+        len(blocks) * len(blocks[0]) for blocks in proof.fri.layer_blocks
+    ) + len(proof.fri.final_coeffs)
+    mask_free = bounds["d_r"] - (2 * u0 + 1)
+    assert interior <= mask_free
+    # and the parameter-time guard is the worst case of the same ledger
+    assert 2 * q * schema["n_folds"] + schema["final_degree"] >= interior
+
+    # the t-tree carries the mask column r in zk mode: its opened blocks
+    # are twice as wide as non-zk, and the claimed r eval is present
+    assert len(proof.open_blocks["t"][0]) == 4  # (t, r) x 2 sides
+    assert "r" in proof.evals
+
+
+def test_zk_mask_budget_guard():
+    # parameters whose FRI interior would out-reveal the mask must be
+    # rejected at _bounds time, not silently weaken hiding
+    with pytest.raises(ValueError, match="zk mask budget"):
+        fri._bounds(16, fri.FriParams(blowup=4, n_queries=100,
+                                      final_degree=2, zk=True))
+
+
+def test_proof_size_v2_regression(tiny_setup):
+    """HSP2 vs the v1 layout (VERDICT r3 missing #1 'done' criterion):
+    the serialized production-parameter proof bound must be well under
+    half of v1's measured 1,397,431 bytes at n=1024."""
+    from hades252_tpu import serialize
+
+    bound = serialize.expected_proof_size(1024, fri.FriParams())
+    assert bound < 1_397_431 / 2
+    # the bound is itself pessimistic (no path merging); a real tiny
+    # proof serializes under its own bound
+    c, pk, vk, proof = tiny_setup
+    blob = serialize.proof_to_bytes(proof, vk)
+    assert len(blob) <= serialize.expected_proof_size(vk.n, pk.params)
