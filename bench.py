@@ -341,16 +341,24 @@ def main_plonk():
     return 0
 
 
+def _proof_bytes(proof, vk) -> int:
+    from hades252_tpu import serialize
+
+    return len(serialize.proof_to_bytes(proof, vk))
+
+
 def main_fri():
     """Succinct-proof (DEEP-FRI) proving throughput: permutation-chain
     preimage instances through the device-resident prover (fri_tpu),
-    blowup 4 / 16 queries / final degree 64 (~32-bit FRI soundness — a
-    throughput config; production uses FriParams() defaults). argv[2]
-    overrides the batch size B (default 8); argv[3] the number of CHAINED
-    permutation gadgets per circuit (default 1 = 973 gates; k chains to
-    ~973k gates — the circuit-size scaling axis). Gate: the device proof
-    must be BIT-IDENTICAL to the host prover's and verify. Prints host
-    and device sec/proof."""
+    blowup 4 / 16 queries / 8 PoW bits / final degree 64 (~56-bit
+    soundness — the throughput preset). argv[2] overrides the batch size
+    B (default 8); argv[3] the number of CHAINED permutation gadgets per
+    circuit (default 1 = 973 gates; k chains to ~973k gates — the
+    circuit-size scaling axis); argv[4] = "prod" switches to the
+    production FriParams() defaults (121-bit conjectured / ~68 proven).
+    Gate: the device proof must be BIT-IDENTICAL to the host prover's
+    and verify. Prints host and device sec/proof and the serialized
+    proof size."""
     from hades252_tpu import fri, fri_tpu
     from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
     from hades252_tpu.params import P, WIDTH
@@ -372,7 +380,10 @@ def main_fri():
         c.append_gate(Constraint().left(1).a(w).public(-e))
     n_gates = len(c.gates)
 
-    params = fri.FriParams(blowup=4, n_queries=16, final_degree=64)
+    prod = len(sys.argv) > 4 and sys.argv[4] == "prod"
+    params = (fri.FriParams() if prod else
+              fri.FriParams(blowup=4, n_queries=16, final_degree=64,
+                            pow_bits=8))
     pk, vk = fri.preprocess_succinct(c, params)
     pi = [g.pi for g in c.gates]
 
@@ -397,8 +408,11 @@ def main_fri():
     batch_secs = time.perf_counter() - t0
 
     ok = (host.roots == dev.roots and host.evals == dev.evals
+          and host.pow_nonce == dev.pow_nonce
           and host.fri.final_coeffs == dev.fri.final_coeffs
-          and host.open_values == dev.open_values
+          and host.open_blocks == dev.open_blocks
+          and all(np.array_equal(host.open_nodes[k], dev.open_nodes[k])
+                  for k in host.open_nodes)
           and fri.verify_succinct(vk, dev, pi))
     if not ok:
         raise RuntimeError(
@@ -408,7 +422,8 @@ def main_fri():
     print(
         json.dumps(
             {
-                "metric": f"fri_succinct_prove_{n_gates}gates",
+                "metric": f"fri_succinct_prove_{n_gates}gates"
+                          + ("_prod" if prod else ""),
                 "value": round(bsz / batch_secs, 3),
                 "unit": "proofs/sec/chip",
                 "n_gates": n_gates,
@@ -418,6 +433,10 @@ def main_fri():
                 "batch_size": bsz,
                 "sec_per_batch": round(batch_secs, 3),
                 "proof_field_elements": fri.proof_size_field_elements(dev),
+                "proof_wire_bytes": _proof_bytes(dev, vk),
+                "security_bits": round(params.security_bits(pk.key.n), 1),
+                "proven_security_bits":
+                    round(params.proven_security_bits(pk.key.n), 1),
                 "bit_identity_gate": "passed",
             }
         )
@@ -430,7 +449,8 @@ def main_aggregate():
     permutation-preimage instances in ONE shared DEEP-FRI argument via
     the device-resident aggregate prover. Gate: the device aggregate
     must serialize byte-identically to the host prover's and verify.
-    argv[2] overrides B (default 8)."""
+    argv[2] overrides B (default 8); argv[3] = "prod" switches to the
+    production FriParams() defaults."""
     from hades252_tpu import aggregate, fri, fri_tpu, serialize
     from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
     from hades252_tpu.params import P, WIDTH
@@ -452,7 +472,10 @@ def main_aggregate():
         cs.append(c)
     pis = [[g.pi for g in c.gates] for c in cs]
 
-    params = fri.FriParams(blowup=4, n_queries=16, final_degree=64)
+    prod = len(sys.argv) > 3 and sys.argv[3] == "prod"
+    params = (fri.FriParams() if prod else
+              fri.FriParams(blowup=4, n_queries=16, final_degree=64,
+                            pow_bits=8))
     pk, vk = fri.preprocess_succinct(cs[0], params)
 
     t0 = time.perf_counter()
@@ -477,7 +500,8 @@ def main_aggregate():
     print(
         json.dumps(
             {
-                "metric": f"fri_aggregate_prove_973gates_B{bsz}",
+                "metric": f"fri_aggregate_prove_973gates_B{bsz}"
+                          + ("_prod" if prod else ""),
                 "value": round(bsz / dev_secs, 3),
                 "unit": "instances/sec/chip",
                 "sec_per_aggregate_device": round(dev_secs, 3),
@@ -500,13 +524,15 @@ def main_verify():
     """Batched succinct-proof verification throughput: B proofs of the
     973-gate preimage circuit through fri.verify_succinct_batched — every
     proof's and every polynomial's Merkle openings at the same tree
-    height pooled into one permutation batch per level (~44 batched perm
-    calls for the WHOLE batch, vs ~5,200 width-5 perms per proof
-    serially). Reports the pooled host-native path (the serving default
-    on relay-attached hosts) and, on TPU, the pooled fused-kernel path at
-    one fixed executable shape (fri.padded_perm_fn). Gate: all verdicts
-    True, a tampered proof rejected, and (on TPU) device verdicts
-    identical — refuses to print otherwise."""
+    proof's and every tree's pruned multiproof pooled into one
+    permutation batch per level step (max-tree-height batched calls for
+    the WHOLE batch — HSP2 cut the per-proof permutation count ~4x vs
+    the per-leaf layout). Reports the pooled host-native path (the
+    serving default on relay-attached hosts) and, on TPU, the pooled
+    fused-kernel path at one fixed executable shape. argv[3] = "prod"
+    switches to FriParams() defaults. Gate: all verdicts True, a
+    tampered proof rejected, and (on TPU) device verdicts identical —
+    refuses to print otherwise."""
     import jax
 
     from hades252_tpu import fri
@@ -524,7 +550,10 @@ def main_verify():
     for w, e in zip(ws, expected):
         c.append_gate(Constraint().left(1).a(w).public(-e))
 
-    params = fri.FriParams(blowup=4, n_queries=16, final_degree=64)
+    prod = len(sys.argv) > 3 and sys.argv[3] == "prod"
+    params = (fri.FriParams() if prod else
+              fri.FriParams(blowup=4, n_queries=16, final_degree=64,
+                            pow_bits=8))
     pk, vk = fri.preprocess_succinct(c, params)
     pi = [g.pi for g in c.gates]
     proof = fri.prove_succinct(c, pk)
@@ -534,13 +563,11 @@ def main_verify():
     proofs, pis = [proof] * bsz, [pi] * bsz
 
     # correctness gate on the default (host) path
+    from dataclasses import replace as _dc_replace
+
     evals = dict(proof.evals)
     evals["a"] = (evals["a"] + 1) % P
-    forged = fri.SuccinctProof(
-        roots=proof.roots, evals=evals, fri=proof.fri,
-        open_values=proof.open_values, open_sibs=proof.open_sibs,
-        open_poss=proof.open_poss,
-    )
+    forged = _dc_replace(proof, evals=evals)
     verd = fri.verify_succinct_batched(vk, proofs + [forged], pis + [pi])
     if not (bool(np.all(verd[:-1])) and not bool(verd[-1])):
         raise RuntimeError(
@@ -555,7 +582,8 @@ def main_verify():
     single_secs = time.perf_counter() - t0
 
     out = {
-        "metric": f"fri_succinct_verify_973gates_B{bsz}",
+        "metric": f"fri_succinct_verify_973gates_B{bsz}"
+                  + ("_prod" if prod else ""),
         "value": round(bsz / host_secs, 2),
         "unit": "verifications/sec/chip",
         "sec_per_batch": round(host_secs, 3),

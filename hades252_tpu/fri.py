@@ -808,7 +808,7 @@ def eval_order(zk: bool) -> tuple:
     return EVAL_ORDER + (("r",) if zk else ())
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash: ProvingKeys key weak device caches
 class ProvingKey:
     key: CircuitKey
     params: FriParams

@@ -12,6 +12,20 @@ import numpy as np
 from ..params import N_DIGITS, P, digits_to_int
 
 
+def _flatten_values(values) -> list:
+    """Flatten nested lists/tuples/arrays of ints WITHOUT the
+    object-ndarray detour (np.asarray(dtype=object) costs ~5x a chained
+    flatten on the deep prover-sized inputs)."""
+    if isinstance(values, np.ndarray):
+        return values.reshape(-1).tolist()
+    out = list(values)
+    from itertools import chain
+
+    while out and isinstance(out[0], (list, tuple, np.ndarray)):
+        out = list(chain.from_iterable(out))
+    return out
+
+
 def ints_to_digits(values, shape=None) -> np.ndarray:
     """List/array of canonical Python ints -> (..., N_DIGITS) uint32.
 
@@ -19,17 +33,35 @@ def ints_to_digits(values, shape=None) -> np.ndarray:
     (instead of N_DIGITS shift/mask ops per value) — this conversion sits
     on the host side of every device<->bigint boundary (prover phases,
     PCS tree building) and was a measured bottleneck of batched proving."""
-    flat = [int(v) for v in np.asarray(values, dtype=object).reshape(-1)]
-    for v in flat:
-        if not 0 <= v < P:
-            raise ValueError(f"not a canonical field element: {v}")
+    flat = _flatten_values(values)
     if shape is None:
         shape = np.asarray(values, dtype=object).shape
     if not flat:
         return np.zeros(tuple(shape) + (N_DIGITS,), np.uint32)
-    buf = b"".join(v.to_bytes(32, "little") for v in flat)
+    try:
+        buf = b"".join(int(v).to_bytes(32, "little") for v in flat)
+    except (OverflowError, TypeError):
+        raise ValueError("not a canonical field element (negative or "
+                         "non-int value)") from None
     out = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
-    return out.reshape(tuple(shape) + (N_DIGITS,))
+    out = out.reshape(tuple(shape) + (N_DIGITS,))
+    # vectorized canonicality check (value < p), replacing the per-value
+    # Python comparison loop
+    pd = _P_DIGITS_DESC
+    flat2 = out.reshape(-1, N_DIGITS)
+    ge = np.zeros(flat2.shape[0], bool)
+    eq = np.ones(flat2.shape[0], bool)
+    for i in range(N_DIGITS - 1, -1, -1):
+        ge |= eq & (flat2[:, i] > pd[i])
+        eq &= flat2[:, i] == pd[i]
+    if bool((ge | eq).any()):
+        raise ValueError("not a canonical field element: value >= p")
+    return out
+
+
+_P_DIGITS_DESC = np.asarray(
+    [(P >> (16 * i)) & 0xFFFF for i in range(N_DIGITS)], np.uint32
+)
 
 
 def digits_to_ints(digits) -> np.ndarray:

@@ -187,7 +187,8 @@ def test_succinct_aggregate_sharded_matches_single(mesh8):
     assert sharded.evals == single.evals
     assert sharded.fri.layer_roots == single.fri.layer_roots
     assert sharded.fri.final_coeffs == single.fri.final_coeffs
-    assert sharded.open_values == single.open_values
+    assert sharded.open_blocks == single.open_blocks
+    assert sharded.pow_nonce == single.pow_nonce
     pis = [[g.pi for g in c.gates] for c in composers]
     assert aggregate.verify_aggregate(vk, sharded, pis)
     with pytest.raises(ValueError, match="not divisible"):

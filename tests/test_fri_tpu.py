@@ -1,7 +1,8 @@
 """Device-resident succinct prover (fri_tpu.py): bit-identity with the
 host prover in both plain and zk modes — the contract that lets the TPU
 serve succinct proving while fri.prove_succinct stays the auditable
-oracle."""
+oracle. The HSP2 layout adds grinding nonces, pruned multiproof node
+sets, and quad-block FRI layers to the identity surface."""
 
 import numpy as np
 import pytest
@@ -22,14 +23,14 @@ def _circuit():
 def _assert_same(p1, p2):
     assert p1.roots == p2.roots
     assert p1.evals == p2.evals
+    assert p1.pow_nonce == p2.pow_nonce
     assert p1.fri.layer_roots == p2.fri.layer_roots
     assert p1.fri.final_coeffs == p2.fri.final_coeffs
-    assert p1.fri.layer_values == p2.fri.layer_values
-    assert p1.open_values == p2.open_values
-    for k in p1.open_sibs:
-        assert np.array_equal(p1.open_sibs[k], p2.open_sibs[k]), k
-        assert np.array_equal(p1.open_poss[k], p2.open_poss[k]), k
-    for a1, a2 in zip(p1.fri.layer_sibs, p2.fri.layer_sibs):
+    assert p1.fri.layer_blocks == p2.fri.layer_blocks
+    assert p1.open_blocks == p2.open_blocks
+    for k in p1.open_nodes:
+        assert np.array_equal(p1.open_nodes[k], p2.open_nodes[k]), k
+    for a1, a2 in zip(p1.fri.layer_nodes, p2.fri.layer_nodes):
         assert np.array_equal(a1, a2)
 
 
@@ -37,7 +38,8 @@ def _assert_same(p1, p2):
 def test_device_prover_bit_identical(zk):
     c = _circuit()
     pi = [g.pi for g in c.gates]
-    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8, zk=zk)
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8,
+                           pow_bits=3, zk=zk)
     pk, vk = fri.preprocess_succinct(c, params)
     host = fri.prove_succinct(c, pk, rng=np.random.default_rng(7))
     dev = fri_tpu.prove_succinct_device(c, pk,
@@ -68,7 +70,8 @@ def test_device_prover_batched(rng):
         c.gate_add(Constraint().left(1).a(a).right(1).b(b)
                    .public(-(8 + 2 * k)))
         cs.append(c)
-    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8, zk=True)
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8,
+                           pow_bits=2, zk=True)
     pk, vk = fri.preprocess_succinct(cs[0], params)
     devs = fri_tpu.prove_succinct_device_batch(
         cs, pk, rngs=[np.random.default_rng(100 + k) for k in range(3)]
@@ -111,7 +114,8 @@ def test_device_aggregate_bit_identical(zk):
                    .public(-(8 + 3 * k)))
         cs.append(c)
     pis = [[g.pi for g in c.gates] for c in cs]
-    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8, zk=zk)
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8,
+                           pow_bits=2, zk=zk)
     pk, vk = fri.preprocess_succinct(cs[0], params)
     host = aggregate.prove_aggregate(cs, pk,
                                      rng=np.random.default_rng(21))
@@ -121,18 +125,15 @@ def test_device_aggregate_bit_identical(zk):
     assert dev.roots == host.roots
     assert dev.evals == host.evals
     assert dev.key_evals == host.key_evals
+    assert dev.r_eval == host.r_eval
+    assert dev.pow_nonce == host.pow_nonce
     assert dev.fri.layer_roots == host.fri.layer_roots
     assert dev.fri.final_coeffs == host.fri.final_coeffs
-    assert dev.fri.layer_values == host.fri.layer_values
-    assert dev.open_values == host.open_values
-    assert dev.key_open_values == host.key_open_values
-    for k_ in host.open_sibs:
-        assert np.array_equal(dev.open_sibs[k_], host.open_sibs[k_]), k_
-        assert np.array_equal(dev.open_poss[k_], host.open_poss[k_]), k_
-    for k_ in host.key_open_sibs:
-        assert np.array_equal(dev.key_open_sibs[k_],
-                              host.key_open_sibs[k_]), k_
-    for a1, a2 in zip(dev.fri.layer_sibs, host.fri.layer_sibs):
+    assert dev.fri.layer_blocks == host.fri.layer_blocks
+    assert dev.open_blocks == host.open_blocks
+    for k_ in host.open_nodes:
+        assert np.array_equal(dev.open_nodes[k_], host.open_nodes[k_]), k_
+    for a1, a2 in zip(dev.fri.layer_nodes, host.fri.layer_nodes):
         assert np.array_equal(a1, a2)
     assert aggregate.verify_aggregate(vk, dev, pis)
 
@@ -148,12 +149,22 @@ def test_device_aggregate_rejects_mixed_circuits():
         fri_tpu.prove_aggregate_device([c1, c2], pk)
 
 
-# -- fused device internals (round-3 launch-count reduction) ------------------
-# Through the axon relay every device call pays a round trip; the tree
-# build, the openings, and the claimed evaluations are each ONE executable
-# now (PERF.md). These tests pin the internals' bit-identity to the host
-# reference paths on CPU (the fused tree body runs with the host perm —
-# the same code object the TPU executable traces with permute_pallas).
+# -- fused device internals ----------------------------------------------------
+# Through the axon relay every device call pays a round trip; each tree
+# build (block sponge + all levels), the FRI phase, the grinding windows,
+# and the opening gathers are each ONE executable. These tests pin the
+# internals' bit-identity to the host reference paths on CPU (the fused
+# bodies run with the host perm — the same code objects the TPU
+# executables trace with permute_pallas).
+
+
+def _perm_rows():
+    perm = fri.default_pcs_perm()
+
+    def perm_rows(states):
+        return np.asarray(perm(np.asarray(states, np.uint32)))
+
+    return perm, perm_rows
 
 
 def test_tree_levels_body_matches_host(rng):
@@ -162,11 +173,7 @@ def test_tree_levels_body_matches_host(rng):
     from hades252_tpu.utils.encoding import ints_to_digits
 
     leaves = ints_to_digits(leaves_int, shape=(2, 16))
-    perm = fri.default_pcs_perm()
-
-    def perm_rows(states):
-        return np.asarray(perm(np.asarray(states, np.uint32)))
-
+    perm, perm_rows = _perm_rows()
     host = [fri.tree_build_digits(np.asarray(leaves[i]), perm)
             for i in range(2)]
     # pad_to=8 exercises the canonical-block padding (levels with 8 and 2
@@ -180,25 +187,43 @@ def test_tree_levels_body_matches_host(rng):
                 assert np.array_equal(np.asarray(lvl_f[i]), lvl_h)
 
 
-def test_open_batched_dev_matches_host(rng):
+def test_block_tree_body_matches_host(rng):
+    # the fused paired-block tree (sponge leaf digests + levels) must
+    # equal fri._commit_paired for the same columns
     from hades252_tpu.utils.encoding import ints_to_digits
 
-    leaves_int = [int.from_bytes(rng.bytes(40), "little") % fri.P
-                  for _ in range(2 * 16)]
-    leaves = ints_to_digits(leaves_int, shape=(2, 16))
-    perm = fri.default_pcs_perm()
-    host_levels = [fri.tree_build_digits(np.asarray(leaves[i]), perm)
-                   for i in range(2)]
-    stacked = [np.stack([host_levels[0][l], host_levels[1][l]])
-               for l in range(len(host_levels[0]))]
-    idx = np.asarray([[3, 7, 7], [0, 15, 2]])
-    sibs, poss = fri_tpu._open_batched_dev(stacked, idx)
-    for i in range(2):
-        ref_sibs, ref_poss = fri.tree_open_batched(
-            host_levels[i], list(idx[i])
-        )
-        assert np.array_equal(sibs[i], np.asarray(ref_sibs))
-        assert np.array_equal(poss[i], np.asarray(ref_poss))
+    perm, perm_rows = _perm_rows()
+    m0, n_cols = 32, 3
+    cols_int = [[int.from_bytes(rng.bytes(40), "little") % fri.P
+                 for _ in range(m0)] for _ in range(n_cols)]
+    host_levels = fri._commit_paired(cols_int, perm)
+    cols = ints_to_digits(cols_int, shape=(n_cols, m0))[None]
+    for pad_to in (1, 8):
+        fused = fri_tpu._block_tree_body(
+            np.asarray(fri_tpu._paired_blocks_dev(jnp_asarray(cols))),
+            perm_rows, pad_to)
+        assert len(fused) == len(host_levels)
+        for lvl_f, lvl_h in zip(fused, host_levels):
+            assert np.array_equal(np.asarray(lvl_f[0]), lvl_h)
+
+
+def test_open_helpers_match_host(rng):
+    # _open_blocks_dev / _open_nodes_dev against fri._open_paired
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    perm, _ = _perm_rows()
+    m0, n_cols, q = 64, 2, 5
+    cols_int = [[int.from_bytes(rng.bytes(40), "little") % fri.P
+                 for _ in range(m0)] for _ in range(n_cols)]
+    levels = fri._commit_paired(cols_int, perm)
+    s0 = [1, 7, 30]
+    host_blocks, host_nodes = fri._open_paired(cols_int, levels, s0)
+    cols = ints_to_digits(cols_int, shape=(n_cols, m0))[None]
+    dev_blocks = fri_tpu._open_blocks_dev(cols, [s0], q)[0]
+    assert dev_blocks == host_blocks
+    stacked = [lvl[None] for lvl in levels]
+    dev_nodes = fri_tpu._open_nodes_dev(stacked, [s0])[0]
+    assert np.array_equal(dev_nodes, host_nodes)
 
 
 def test_eval_rows_dev_matches_poly_eval(rng):
@@ -227,23 +252,43 @@ def jnp_asarray(x):
     return jnp.asarray(x)
 
 
+def test_grind_window_dev_matches_host():
+    # the device window search must find exactly the host's smallest
+    # nonce (fri._grind_search), window by window — the window body runs
+    # here on the host perm (the same code object the TPU jit traces)
+    from hades252_tpu import plonk
+
+    _, perm_rows = _perm_rows()
+
+    def window(states, nd, pow_bits):
+        return fri_tpu._grind_window_body(states, nd, pow_bits,
+                                          perm_rows, 8)
+
+    tr = plonk.Transcript()
+    tr.absorb(424242)
+    host_tr = plonk.Transcript()
+    host_tr.absorb(424242)
+    pow_bits = 6
+    nonces = fri_tpu._grind_batch_dev([tr], pow_bits, window_fn=window)
+    host_nonce = fri.grind_transcript(host_tr, pow_bits,
+                                      fri.default_pcs_perm(), batch=16)
+    assert nonces[0] == host_nonce
+
+
 def test_chain_nodes_body_matches_host_loop(rng):
-    """The fused verification chain (fri_tpu._chain_nodes_body) must give
-    exactly the per-level host loop's verdicts through
+    """The fused sibling-opening chain (fri_tpu._chain_nodes_body) must
+    give exactly the per-level host loop's verdicts through
     tree_verify_batched's chain_fn seam: valid openings accepted,
     tampered values rejected, out-of-range positions rejected."""
     leaves = [int.from_bytes(rng.bytes(40), "little") % fri.P
               for _ in range(16)]
-    perm = fri.default_pcs_perm()
+    perm, perm_rows = _perm_rows()
     levels = fri.tree_build(leaves, perm)
     root = fri.tree_root(levels)
     h = len(levels) - 1
     idx = [3, 7, 12]
     sibs, poss = fri.tree_open_batched(levels, idx)
     values = [leaves[i] for i in idx]
-
-    def perm_rows(states):
-        return np.asarray(perm(np.asarray(states, np.uint32)))
 
     def chain(node, sibs_, poss_):
         # pad_to=8 exercises the canonical-block padding on CPU
@@ -269,62 +314,30 @@ def test_chain_nodes_body_matches_host_loop(rng):
         root, values, sibs, poss_bad, h, idx, perm, chain)[0]
 
 
-def test_verify_succinct_device_batch_cpu_fallback(rng):
-    """On non-TPU backends verify_succinct_device_batch IS the host
-    pooled path — verdicts identical to verify_succinct per proof."""
+def test_verify_device_entry_points_cpu_fallback():
+    """On non-TPU backends the device verify entry points ARE the host
+    paths — verdicts identical per proof/aggregate."""
+    from hades252_tpu import aggregate
+
     c = _circuit()
-    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8)
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8,
+                           pow_bits=2)
     pk, vk = fri.preprocess_succinct(c, params)
     proof = fri.prove_succinct(c, pk)
     pi = [g.pi for g in c.gates]
     verd = fri_tpu.verify_succinct_device_batch(vk, [proof, proof],
                                                 [pi, pi])
     assert bool(np.all(verd))
-
-
-def test_verify_aggregate_chain_fn_matches_host():
-    """verify_aggregate through the chain seam (fused chain body on the
-    emulated perm) must match the plain host path, including rejection."""
-    from hades252_tpu import aggregate
-
-    cs = []
-    for k in range(2):
-        c = Composer()
-        a = c.append_witness(3 + k)
-        b = c.append_witness(5 + k)
-        c.gate_mul(Constraint().mult(1).a(a).b(b))
-        c.gate_add(Constraint().left(1).a(a).right(1).b(b)
-                   .public(-(8 + 2 * k)))
-        cs.append(c)
-    pis = [[g.pi for g in c.gates] for c in cs]
-    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8)
-    pk, vk = fri.preprocess_succinct(cs[0], params)
-    agg = aggregate.prove_aggregate(cs, pk)
-
-    perm = fri.default_pcs_perm()
-
-    def perm_rows(states):
-        return np.asarray(perm(np.asarray(states, np.uint32)))
-
-    def chain(node, sibs_, poss_):
-        return fri_tpu._chain_nodes_body(
-            np.asarray(node), np.asarray(sibs_),
-            np.asarray(poss_), perm_rows, pad_to=8)
-
-    assert aggregate.verify_aggregate(vk, agg, pis, chain_fn=chain)
-    bad_pis = [list(pis[0]), list(pis[1])]
-    bad_pis[0][-1] += 1
-    assert not aggregate.verify_aggregate(vk, agg, bad_pis,
-                                          chain_fn=chain)
-    # CPU fallback entry point is the host path
-    assert fri_tpu.verify_aggregate_device(vk, agg, pis)
+    agg = aggregate.prove_aggregate([c, _circuit()], pk)
+    assert fri_tpu.verify_aggregate_device(vk, agg, [pi, pi])
 
 
 def test_fri_phase_body_matches_host_chain(rng):
-    """The fused FRI commit phase (in-trace transcript + folds + trees,
-    fri_tpu._fri_phase_body) must replicate the host chain exactly:
-    challenge -> fold_evals -> tree root -> absorb per fold, and the
-    returned sponge state must continue the host Transcript stream."""
+    """The fused FRI commit phase (in-trace transcript + folds + quad
+    block trees, fri_tpu._fri_phase_body) must replicate the host chain
+    exactly: challenge -> fold_evals -> scheduled block tree root ->
+    absorb, and the returned sponge state must continue the host
+    Transcript stream."""
     import jax.numpy as jnp
 
     from hades252_tpu import plonk
@@ -333,61 +346,75 @@ def test_fri_phase_body_matches_host_chain(rng):
     from hades252_tpu.params import P
     from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits
 
-    b, m0, n_folds = 2, 32, 3
+    b, m0, n_folds = 2, 64, 4
+    sched = fri.layer_schedule(n_folds)  # [(1, 4), (3, 2)]
     evals_int = [[int.from_bytes(rng.bytes(40), "little") % P
                   for _ in range(m0)] for _ in range(b)]
 
-    # host reference: independent transcripts with distinct histories
+    # host reference: independent transcripts with distinct histories,
+    # driving fri._fri_commit per instance
     trs = [plonk.Transcript() for _ in range(b)]
     for i, tr in enumerate(trs):
         tr.absorb(1000 + i)
     host_states0 = [tr.state for tr in trs]
 
-    perm = fri.default_pcs_perm()
-    host_layers, host_roots = [], []
-    host_evals = [list(e) for e in evals_int]
-    shift = fri.G0
-    for k in range(1, n_folds + 1):
-        betas = [tr.challenge() for tr in trs]
-        host_evals = [fri.fold_evals(e, shift, beta)
-                      for e, beta in zip(host_evals, betas)]
-        shift = shift * shift % P
-        if k < n_folds:
-            lvs = [fri.tree_build(e, perm) for e in host_evals]
-            roots = [fri.tree_root(lv) for lv in lvs]
-            host_layers.append(host_evals)
-            host_roots.append(roots)
-            for tr, rt in zip(trs, roots):
-                tr.absorb(rt)
-
-    # fused body on the emulated perm (pad_to exercises padding)
-    def perm_rows(states):
-        return np.asarray(perm(np.asarray(states, np.uint32)))
+    perm, perm_rows = _perm_rows()
+    host_layers = []   # per instance: [(k, bs, evals, levels)]
+    for i in range(b):
+        tr = plonk.Transcript()
+        tr.set_state(host_states0[i])
+        layer_coms, _ = fri._fri_commit(
+            tr, list(evals_int[i]), m0, n_folds, m0 >> n_folds,
+            sched, perm,
+        )
+        host_layers.append(layer_coms)
+        trs[i] = tr
 
     xinvs, shift2, size = [], fri.G0, m0
     for _ in range(n_folds):
         xinvs.append(_xinv_mont(size, shift2))
         shift2 = shift2 * shift2 % P
         size //= 2
-    f0 = jnp.asarray(ints_to_digits(evals_int, shape=(b, m0)))
-    tr_state0 = jnp.asarray(ints_to_digits(host_states0, shape=(b, 5)))
+    f0 = jnp_asarray(ints_to_digits(evals_int, shape=(b, m0)))
+    tr_state0 = jnp_asarray(ints_to_digits(host_states0, shape=(b, 5)))
     cur, tr_state, layer_evals, layer_levels = _fri_phase_body(
         f0, tr_state0, tuple(xinvs),
-        jnp.asarray(_scalar_mont((P + 1) // 2)), perm_rows, pad_to=8,
+        jnp.asarray(_scalar_mont((P + 1) // 2)), tuple(sched), perm_rows,
+        pad_to=8,
     )
-    got_final = digits_to_ints(np.asarray(cur))
-    for i in range(b):
-        assert [int(v) for v in got_final[i]] == host_evals[i]
-    for k, (ev, lv) in enumerate(zip(layer_evals, layer_levels)):
-        got = digits_to_ints(np.asarray(ev))
+    for li in range(len(sched)):
+        got = digits_to_ints(np.asarray(layer_evals[li]))
+        got_roots = digits_to_ints(
+            np.asarray(layer_levels[li][-1][:, 0])
+        )
         for i in range(b):
-            assert [int(v) for v in got[i]] == host_layers[k][i]
-        got_roots = digits_to_ints(np.asarray(lv[-1][:, 0]))
-        assert [int(v) for v in got_roots] == host_roots[k]
+            k, bs, host_evals, host_levels = host_layers[i][li]
+            assert [int(v) for v in got[i]] == host_evals
+            assert int(got_roots[i]) == fri.tree_root(host_levels)
     got_states = digits_to_ints(np.asarray(tr_state))
     for i in range(b):
-        assert [int(v) for v in got_states[i]] == trs[i].state
-        # the synced host transcript continues the stream identically
+        # the host transcript consumed the identical stream: the fused
+        # body's final state continues it bit-identically (the host
+        # _fri_commit also absorbed the final coefficients, so compare
+        # by replaying a challenge from the pre-final-absorb state)
         resumed = plonk.Transcript()
         resumed.set_state([int(v) for v in got_states[i]])
-        assert resumed.challenge() == trs[i].challenge()
+        # re-derive the host state right after the last layer absorb by
+        # replaying the fused outputs through a fresh transcript
+        replay = plonk.Transcript()
+        replay.set_state(host_states0[i])
+        cur_i = list(evals_int[i])
+        shift = fri.G0
+        committed = dict(sched)
+        li = 0
+        for k in range(1, n_folds + 1):
+            beta = replay.challenge()
+            cur_i = fri.fold_evals(cur_i, shift, beta)
+            shift = shift * shift % P
+            if k in committed:
+                replay.absorb(int(digits_to_ints(
+                    np.asarray(layer_levels[li][-1][:, 0]))[i]))
+                li += 1
+        assert [int(v) for v in digits_to_ints(np.asarray(cur))[i]] \
+            == cur_i
+        assert resumed.state == replay.state

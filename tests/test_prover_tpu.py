@@ -45,3 +45,33 @@ def test_batched_prover_rejects_mixed_circuits():
 
 def test_batched_prover_empty():
     assert prover_tpu.prove_batched([]) == []
+
+
+def test_caches_release_dead_keys():
+    """VERDICT r3 weak #4: the device-table caches must not retain every
+    CircuitKey/ProvingKey ever seen — entries are weak and evict when the
+    key object dies."""
+    import gc
+    import weakref
+
+    from hades252_tpu import fri, fri_tpu
+
+    c = _instance(3, 5)
+    params = fri.FriParams(blowup=4, n_queries=2, final_degree=8)
+    pk, _vk = fri.preprocess_succinct(c, params)
+    key = pk.key
+    # populate all three caches
+    prover_tpu._key_tables(key)
+    prover_tpu._key_tables(key, m=64, d_z=key.n)
+    fri_tpu._pk_key_evals(pk)
+    fri_tpu._key_coeff_digits(pk)
+    kid = id(key)
+    assert kid in prover_tpu._TABLE_CACHE
+    assert len(prover_tpu._TABLE_CACHE[kid][1]) == 2
+    assert pk in fri_tpu._PK_DEV_CACHE and pk in fri_tpu._KEY_COEFF_CACHE
+    ref_pk = weakref.ref(pk)
+    ref_key = weakref.ref(key)
+    del pk, key, _vk
+    gc.collect()
+    assert ref_pk() is None and ref_key() is None
+    assert kid not in prover_tpu._TABLE_CACHE
