@@ -592,9 +592,9 @@ def main_verify():
         "verdict_gate": "passed",
     }
     if jax.default_backend() == "tpu":
-        # fused device verifier: each pooled height group's whole opening
-        # chain is ONE executable (fri_tpu._chain_nodes_dev) instead of
-        # one relay round trip per level
+        # fused device verifier: the WHOLE pooled sponge+multiproof phase
+        # is ONE executable + one root fetch (fri_tpu.fused_entries_check)
+        # instead of one relay round trip per sponge chunk / tree level
         from hades252_tpu import fri_tpu
 
         verd_dev = fri_tpu.verify_succinct_device_batch(vk, proofs, pis)
@@ -608,6 +608,18 @@ def main_verify():
         dev_secs = time.perf_counter() - t0
         out["sec_per_batch_device_fused"] = round(dev_secs, 3)
         out["device_verifications_per_sec"] = round(bsz / dev_secs, 2)
+        # single-proof latency through the fused phase (its own B=1
+        # executable; VERDICT r3 #4 target: < 0.1 s)
+        if not bool(fri_tpu.verify_succinct_device_batch(
+                vk, [proof], [pi])[0]):
+            raise RuntimeError(
+                "device single-proof verdict deviates — refusing to report"
+            )
+        t0 = time.perf_counter()
+        fri_tpu.verify_succinct_device_batch(vk, [proof], [pi])
+        out["sec_single_verify_device"] = round(
+            time.perf_counter() - t0, 3
+        )
         if dev_secs < host_secs:
             out["value"] = round(bsz / dev_secs, 2)
             out["sec_per_batch"] = round(dev_secs, 3)

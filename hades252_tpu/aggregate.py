@@ -60,7 +60,6 @@ from .plonk import (
     statement_digest,
 )
 from .fri import (
-    ARITY,
     EVAL_ORDER,
     G0,
     SELECTOR_NAMES,
@@ -70,7 +69,6 @@ from .fri import (
     ProvingKey,
     VerifyingKey,
     _blind,
-    _bounds,
     _check_opening,
     _commit_paired,
     _deep_compose_terms,
@@ -82,12 +80,10 @@ from .fri import (
     _rand_field_fn,
     _terms,
     _zeta_identity_ok,
-    block_digests,
     default_pcs_perm,
     grind_transcript,
     layer_positions,
-    layer_schedule,
-    multiproof_verify_many,
+    pooled_entries_verify,
     pow_mask_ok,
     proof_schema,
     tree_root,
@@ -372,11 +368,14 @@ def prove_aggregate(composers, pk: ProvingKey, perm_fn=None,
 
 
 def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
-                     public_inputs_list, perm_fn=None) -> bool:
+                     public_inputs_list, perm_fn=None,
+                     entries_check=None) -> bool:
     """Check the aggregated argument against the SAME VerifyingKey that
     verifies single succinct proofs. All-or-nothing: every instance's
     zeta identity, the proof-of-work gate, every pruned multiproof, and
-    the shared fold checks must hold."""
+    the shared fold checks must hold. entries_check: optional backend
+    for the pooled sponge+multiproof phase (fri.pooled_entries_verify
+    signature); fri_tpu passes its fused device twin."""
     if perm_fn is None:
         perm_fn = default_pcs_perm()
     n, omega, params = vk.n, vk.omega, vk.params
@@ -459,7 +458,7 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
     specs = agg_tree_specs(params.zk, n_inst)
     blocks_by = {}
     entries = []
-    for tname in TREE_ORDER:
+    for gid, tname in enumerate(TREE_ORDER):
         checked = _check_opening(
             proof.open_blocks.get(tname), proof.open_nodes.get(tname),
             s0, specs[tname], schema["h_pos"],
@@ -473,8 +472,7 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
             shape=(len(blocks), specs[tname]),
         )
         root = vk.k_root if tname == "k" else proof.roots[tname]
-        entries.append((root, block_digests(digits, perm_fn), s0, nodes,
-                        schema["h_pos"]))
+        entries.append((gid, root, digits, s0, nodes, schema["h_pos"]))
     layer_by = []
     for li, (k, bs) in enumerate(sched):
         s_k = sorted({pc[li] for pc in pos_chains})
@@ -489,10 +487,13 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
         digits = ints_to_digits(
             [v for b in blocks for v in b], shape=(len(blocks), bs)
         )
-        entries.append((proof.fri.layer_roots[li],
-                        block_digests(digits, perm_fn), s_k, nodes,
-                        schema["layer_heights"][li]))
-    if not bool(np.all(multiproof_verify_many(entries, perm_fn))):
+        entries.append((len(TREE_ORDER) + li, proof.fri.layer_roots[li],
+                        digits, s_k, nodes, schema["layer_heights"][li]))
+    if entries_check is None:
+        ok = pooled_entries_verify(entries, perm_fn)
+    else:
+        ok = entries_check(entries)
+    if not bool(np.all(ok)):
         return False
 
     # 4. fold each query through the shared layers

@@ -520,6 +520,36 @@ def multiproof_verify(root, leaf_digests, indices, nodes, height: int,
     )[0])
 
 
+def pooled_entries_verify(entries, perm_fn) -> np.ndarray:
+    """Host backend for the batched verifiers' pooled Merkle phase: leaf
+    sponges batched per entry group (gid), then ONE pooled multiproof
+    pass. entries: (gid, root, blocks (U, bs, N_DIGITS) digits, idx,
+    nodes, height) — gid groups entries sharing a block width so their
+    sponge chunks ride one batched permutation stream (the grouping the
+    batched verifier uses per tree kind / FRI layer). fri_tpu supplies a
+    fused device twin of this function through the same seam."""
+    order = []
+    by_gid = {}
+    for e_i, e in enumerate(entries):
+        by_gid.setdefault(e[0], []).append(e_i)
+        order.append(e_i)
+    digs_of = {}
+    for gid, idxs in by_gid.items():
+        batch = np.concatenate([entries[i][2] for i in idxs])
+        digs = block_digests(batch, perm_fn)
+        off = 0
+        for i in idxs:
+            u = entries[i][2].shape[0]
+            digs_of[i] = digs[off : off + u]
+            off += u
+    mp = [
+        (entries[i][1], digs_of[i], entries[i][3], entries[i][4],
+         entries[i][5])
+        for i in order
+    ]
+    return multiproof_verify_many(mp, perm_fn)
+
+
 # ---------------------------------------------------------------------------
 # Proof-of-work grinding (ethSTARK-style: ~pow_bits soundness bits per
 # transcript attempt, letting n_queries shrink at equal claimed level)
@@ -1452,7 +1482,7 @@ def _verify_prepare(vk: VerifyingKey, proof: SuccinctProof, public_inputs,
 
 
 def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
-                            perm_fn=None) -> np.ndarray:
+                            perm_fn=None, entries_check=None) -> np.ndarray:
     """Verify MANY succinct proofs against one verifying key with pooled
     Merkle hashing: every proof's every tree (phase trees, the key tree,
     the FRI layer trees) becomes one pruned-multiproof entry, and ALL
@@ -1462,7 +1492,12 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
     pooled per tree kind the same way. Per-proof transcript replay and
     the zeta/fold algebra stay host-side. Returns a (B,) bool array;
     entry b is exactly verify_succinct(vk, proofs[b],
-    public_inputs_list[b])."""
+    public_inputs_list[b]).
+
+    entries_check: optional backend for the pooled sponge+multiproof
+    phase — callable(entries) -> (len(entries),) bool, entries as in
+    pooled_entries_verify (the default). fri_tpu passes its fused
+    single-executable device twin here; verdicts must be identical."""
     if len(proofs) != len(public_inputs_list):
         raise ValueError("one public-input list per proof required")
     if perm_fn is None:
@@ -1490,23 +1525,19 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
     # (proof, tree) pair
     entries, owners = [], []
 
-    def add_entries(height, root_of, blocks_of, idx_of, nodes_of):
-        batches = [
-            ints_to_digits([v for blk in blocks_of(b) for v in blk],
-                           shape=(len(blocks_of(b)), len(blocks_of(b)[0])))
-            for b in alive
-        ]
-        digs = block_digests(np.concatenate(batches), perm_fn)
-        off = 0
-        for b, batch in zip(alive, batches):
-            u = batch.shape[0]
-            entries.append((root_of(b), digs[off : off + u], idx_of(b),
+    def add_entries(gid, height, root_of, blocks_of, idx_of, nodes_of):
+        for b in alive:
+            blocks = ints_to_digits(
+                [v for blk in blocks_of(b) for v in blk],
+                shape=(len(blocks_of(b)), len(blocks_of(b)[0])),
+            )
+            entries.append((gid, root_of(b), blocks, idx_of(b),
                             nodes_of(b), height))
             owners.append(b)
-            off += u
 
-    for tname in TREE_ORDER:
+    for gid, tname in enumerate(TREE_ORDER):
         add_entries(
+            gid,
             shapes["h_pos"],
             (lambda b, t=tname: vk.k_root if t == "k"
              else proofs[b].roots[t]),
@@ -1517,6 +1548,7 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
         )
     for li in range(len(sched)):
         add_entries(
+            len(TREE_ORDER) + li,
             shapes["layer_heights"][li],
             (lambda b, li=li: proofs[b].fri.layer_roots[li]),
             (lambda b, li=li: [ctx[b]["layer_by"][li][pos]
@@ -1524,7 +1556,10 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
             (lambda b, li=li: ctx[b]["s_ks"][li]),
             (lambda b, li=li: ctx[b]["layer_nodes"][li]),
         )
-    ok = multiproof_verify_many(entries, perm_fn)
+    if entries_check is None:
+        ok = pooled_entries_verify(entries, perm_fn)
+    else:
+        ok = entries_check(entries)
     failed = {b for b, good in zip(owners, ok) if not good}
 
     # 5. fold each query through the layers to the final polynomial

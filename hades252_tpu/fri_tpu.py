@@ -1518,31 +1518,242 @@ def _device_pool_perm():
     return perm
 
 
+def _fused_verify_plan(entries, q_cap: int):
+    """Host index bookkeeping for the fused pooled verifier: mirror
+    fri.multiproof_verify_many's per-level merge EXACTLY, but emit it as
+    static-shape gather programs the device executes blind. Shapes
+    depend only on (entry count, heights, block widths, q_cap) — all
+    schema facts — so ONE executable serves every query set (a fresh
+    shape through the relay is a fresh server-side compile, CLAUDE.md).
+
+    Per level l the digest buffer is [pool | supplied nodes | zero row]:
+    pool rows are the previous level's permutation outputs (level 0: the
+    leaf sponges, every entry padded to q_cap rows), node rows are the
+    proof's pruned digits padded to 3x the group cap, and every padding
+    group gathers the zero row (garbage digests no root extraction ever
+    reads). Entry e's level-l group cap is min(q_cap, 4^(h_e-l-1)):
+    groups never exceed the surviving known-index count (<= q_cap) nor
+    the node count of the next level.
+
+    Returns (leaf_blocks per gid, nodes per level, sels per level,
+    root_sels indexed by levels-climbed (0 = the leaf pool, for
+    single-leaf trees), root_owner per slot). Entries must satisfy the
+    structural invariants fri._check_opening enforces (sorted unique
+    in-range indices, exact node counts, <= q_cap openings); violations
+    raise — verify_succinct_batched pre-validates every proof before
+    entries are built."""
+    n_entries = len(entries)
+    heights = [int(e[5]) for e in entries]
+    max_h = max(heights) if heights else 0
+    bs_of_gid = {}
+    gid_rows = {}
+    last_gid = None
+    for e_i, e in enumerate(entries):
+        gid, _root, blocks, idx, nodes, height = e
+        if gid != last_gid and gid in gid_rows:
+            raise ValueError("entries must be grouped by gid")
+        last_gid = gid
+        bs = e[2].shape[1]
+        if bs_of_gid.setdefault(gid, bs) != bs:
+            raise ValueError("one block width per gid required")
+        gid_rows.setdefault(gid, []).append(e_i)
+        idx = [int(i) for i in idx]
+        if (not idx or sorted(set(idx)) != idx or len(idx) > q_cap
+                or min(idx) < 0 or max(idx) >= ARITY ** int(height)
+                or blocks.shape[0] != len(idx)
+                or np.asarray(nodes).reshape(-1, N_DIGITS).shape[0]
+                != fri.multiproof_nodes_total(idx, int(height))):
+            raise ValueError(
+                "malformed pooled entry (the batched verifier validates "
+                "proofs before building entries)"
+            )
+
+    def g_cap(h, lvl):
+        return min(q_cap, ARITY ** (h - lvl - 1)) if lvl < h else 0
+
+    # leaf sponge inputs: per gid, entries padded to q_cap rows each
+    leaf_blocks = []
+    for gid, idxs in gid_rows.items():
+        bs = bs_of_gid[gid]
+        blk = np.zeros((len(idxs) * q_cap, bs, N_DIGITS), np.uint32)
+        for k, e_i in enumerate(idxs):
+            rows = entries[e_i][2]
+            blk[k * q_cap : k * q_cap + rows.shape[0]] = rows
+        leaf_blocks.append(blk)
+
+    # static per-level geometry
+    off_out, off_nd, g_tot, n_tot = [], [], [], []
+    for lvl in range(max_h):
+        oo, on = [], []
+        go = no = 0
+        for h in heights:
+            oo.append(go)
+            on.append(no)
+            g = g_cap(h, lvl)
+            go += g
+            no += 3 * g
+        off_out.append(oo)
+        off_nd.append(on)
+        g_tot.append(go)
+        n_tot.append(no)
+
+    pool_rows = [n_entries * q_cap] + g_tot[:-1]
+    nodes_lvls = [np.zeros((n_tot[lvl], N_DIGITS), np.uint32)
+                  for lvl in range(max_h)]
+    sels = [np.full((g_tot[lvl], ARITY),
+                    pool_rows[lvl] + n_tot[lvl], np.int64)
+            for lvl in range(max_h)]
+    root_sels = [[] for _ in range(max_h + 1)]
+    root_owner = [[] for _ in range(max_h + 1)]
+
+    for e_i, (gid, root, blocks, idx, nodes, height) in enumerate(entries):
+        plan = fri.multiproof_plan(idx, height)
+        nodes = np.asarray(nodes, np.uint32).reshape(-1, N_DIGITS)
+        rows = {int(i): e_i * q_cap + j for j, i in enumerate(idx)}
+        off = 0
+        for lvl in range(height):
+            need = plan[lvl]
+            base = off_nd[lvl][e_i]
+            nodes_lvls[lvl][base : base + len(need)] = (
+                nodes[off : off + len(need)]
+            )
+            node_rows = {i: pool_rows[lvl] + base + t
+                         for t, i in enumerate(need)}
+            off += len(need)
+            all_idx = sorted(rows.keys() | node_rows.keys())
+            sel = sels[lvl]
+            out0 = off_out[lvl][e_i]
+            for g in range(len(all_idx) // ARITY):
+                for j in range(ARITY):
+                    i = all_idx[ARITY * g + j]
+                    sel[out0 + g, j] = rows.get(i, node_rows.get(i))
+            rows = {i >> 2: out0 + g
+                    for g, i in enumerate(all_idx[::ARITY])}
+        # root row: the entry's single level-(h-1) group output, or its
+        # lone leaf digest for a single-leaf tree (height 0)
+        row = (off_out[height - 1][e_i] if height
+               else e_i * q_cap)
+        root_sels[height].append(row)
+        root_owner[height].append(e_i)
+
+    return (leaf_blocks, nodes_lvls, sels,
+            [np.asarray(r, np.int64) for r in root_sels], root_owner)
+
+
+def _fused_pool_body(leaf_blocks, nodes_lvls, sels, root_sels, perm_fn,
+                     pad_to: int):
+    """One traceable body for the verifier's whole pooled Merkle phase:
+    every entry's leaf sponges, then one batched permutation per tree
+    level over a gather program (_fused_verify_plan). Returns the
+    extracted root digests per level."""
+    digs = [
+        _sponge_digests_body(blk, perm_fn, pad_to) for blk in leaf_blocks
+    ]
+    pool = jnp.concatenate(digs, axis=0)
+    tag_row = jnp.asarray(fri._tag_digits())
+    zero = jnp.zeros((1, N_DIGITS), jnp.uint32)
+    roots = [pool[root_sels[0]]]  # single-leaf trees: root = leaf digest
+    for lvl in range(len(sels)):
+        buf = jnp.concatenate([pool, nodes_lvls[lvl], zero], axis=0)
+        children = buf[sels[lvl]]               # (G, ARITY, D)
+        g = children.shape[0]
+        tag = jnp.broadcast_to(tag_row, (g, 1, N_DIGITS))
+        states = jnp.concatenate([tag, children], axis=1)
+        pool = _perm_padded(states, perm_fn, pad_to)[:, DIGEST_INDEX]
+        roots.append(pool[root_sels[lvl + 1]])
+    return tuple(roots)
+
+
+@jax.jit
+def _fused_pool_dev(leaf_blocks, nodes_lvls, sels, root_sels):
+    from .ops.perm_pallas import default_block, permute_pallas
+
+    return _fused_pool_body(
+        tuple(leaf_blocks), tuple(nodes_lvls), tuple(sels),
+        tuple(root_sels), permute_pallas, default_block(),
+    )
+
+
+def fused_entries_check(vk, pool_fn=None):
+    """entries_check backend for fri.verify_succinct_batched running the
+    WHOLE pooled sponge+multiproof phase as one device executable + one
+    root fetch (the host pooled path costs one relay round trip per
+    sponge chunk and per tree level — the single-proof latency floor,
+    VERDICT r3 #4). Verdicts are identical to fri.pooled_entries_verify:
+    the gather program replays multiproof_verify_many's merge order
+    exactly, and the roots are compared host-side. pool_fn overrides the
+    jitted kernel executable (tests run _fused_pool_body eagerly with
+    the host permutation)."""
+    q_cap = vk.params.n_queries
+
+    def check(entries):
+        ok = np.zeros(len(entries), bool)
+        if not entries:
+            return ok
+        leaf_blocks, nodes_lvls, sels, root_sels, root_owner = (
+            _fused_verify_plan(entries, q_cap)
+        )
+        run = pool_fn if pool_fn is not None else _fused_pool_dev
+        roots = run(
+            tuple(jnp.asarray(b) for b in leaf_blocks),
+            tuple(jnp.asarray(x) for x in nodes_lvls),
+            tuple(jnp.asarray(s) for s in sels),
+            tuple(jnp.asarray(r) for r in root_sels),
+        )
+        for slot, owners in enumerate(root_owner):
+            if not owners:
+                continue
+            got = np.asarray(roots[slot], np.uint32)
+            for k, e_i in enumerate(owners):
+                root = entries[e_i][1]
+                want = (
+                    ints_to_digits([int(root)], shape=(1,))[0]
+                    if isinstance(root, (int, np.integer))
+                    else np.asarray(root, np.uint32)
+                )
+                ok[e_i] = bool(np.array_equal(got[k], want))
+        return ok
+
+    return check
+
+
 def verify_succinct_device_batch(vk, proofs, public_inputs_list,
-                                 mesh=None) -> np.ndarray:
+                                 mesh=None, fused: bool = True
+                                 ) -> np.ndarray:
     """Device twin of fri.verify_succinct_batched: identical verdicts
     (the transcript replay, PoW gate, and fold algebra are the same host
-    code), with the pooled leaf-sponge and multiproof hashing running
-    through the fused TPU kernel at a fixed block shape. On non-TPU
-    backends (or with mesh=None off-TPU) this is exactly the host pooled
-    path. mesh is accepted for API symmetry; the pooled pruned-
-    multiproof phase is already one batched call per level step."""
+    code), with the WHOLE pooled leaf-sponge + multiproof phase fused
+    into one device executable and one root fetch (fused_entries_check)
+    — the host pooled path's per-level relay round trips were the
+    single-proof latency floor. On non-TPU backends this is exactly the
+    host pooled path. mesh is accepted for API symmetry; the fused phase
+    is already one batched executable.
+
+    fused=False keeps the per-level pooled path on the standard kernel
+    executable (always warm once anything has permuted at the canonical
+    block) — the right call for ONE verification at a batch shape this
+    process hasn't compiled: the fused executable pays a fresh relay
+    compile per (batch, schema) shape."""
     del mesh  # pooled multiproof hashing is already level-batched
     if jax.default_backend() != "tpu":
         return fri.verify_succinct_batched(vk, proofs, public_inputs_list)
+    if not fused:
+        return fri.verify_succinct_batched(vk, proofs, public_inputs_list,
+                                           perm_fn=_device_pool_perm())
     return fri.verify_succinct_batched(vk, proofs, public_inputs_list,
-                                       perm_fn=_device_pool_perm())
+                                       entries_check=fused_entries_check(vk))
 
 
 def verify_aggregate_device(vk, proof, public_inputs_list,
                             mesh=None) -> bool:
     """Device twin of aggregate.verify_aggregate: identical verdict, with
-    the pooled hashing on the fused TPU kernel. On non-TPU backends this
-    is exactly the host path."""
+    the WHOLE pooled sponge+multiproof phase as one device executable
+    (fused_entries_check). On non-TPU backends this is exactly the host
+    path."""
     from . import aggregate
 
     del mesh
     if jax.default_backend() != "tpu":
         return aggregate.verify_aggregate(vk, proof, public_inputs_list)
     return aggregate.verify_aggregate(vk, proof, public_inputs_list,
-                                      perm_fn=_device_pool_perm())
+                                      entries_check=fused_entries_check(vk))

@@ -289,6 +289,92 @@ class Transcript:
         self._state = [int(v) % P for v in state]
 
 
+class BatchedTranscript:
+    """B independent Fiat-Shamir transcripts advanced in lock-step: every
+    absorb/challenge step runs ONE batched host permutation over all B
+    sponge states (native engine when available) instead of B sequential
+    single-state calls. Bit-identical to B separate `Transcript`s fed the
+    same per-instance streams — prover_tpu.prove_batched's per-instance
+    transcript loop was the measured host bound at B=64 (PERF.md round 3,
+    VERDICT r3 weak #3). Only single-value absorbs are exposed: the
+    batched prover's stream is statement digest + one commitment per
+    absorb (Transcript.absorb permutes after every <=4-value chunk, so a
+    single-value absorb is one add + one permutation)."""
+
+    def __init__(self, b: int, label: int = 0x4841444553):
+        self._states = [[label % P, 0, 0, 0, 0] for _ in range(b)]
+        self._perm_all = _transcript_perm_batch()
+
+    def absorb_each(self, values) -> None:
+        """values: one field element per transcript (length B)."""
+        if len(values) != len(self._states):
+            raise ValueError("one absorbed value per transcript required")
+        for st, v in zip(self._states, values):
+            st[1] = (st[1] + int(v)) % P
+        self._states = self._perm_all(self._states)
+
+    def challenge_each(self) -> list:
+        out = [st[1] for st in self._states]
+        self._states = self._perm_all(self._states)
+        return out
+
+    @property
+    def states(self) -> list:
+        return [list(st) for st in self._states]
+
+
+_TRANSCRIPT_PERM_BATCH = None
+
+
+def _transcript_perm_batch():
+    """Batched width-5 host permutation ((B, 5) int rows -> (B, 5)): one
+    native call for the whole batch when the C++ engine is available,
+    else the exact per-row Python schedule."""
+    global _TRANSCRIPT_PERM_BATCH
+    if _TRANSCRIPT_PERM_BATCH is not None:
+        return _TRANSCRIPT_PERM_BATCH
+    batch = None
+    try:
+        from .utils import native
+
+        if native.available():
+            from .utils.encoding import digits_to_ints, ints_to_digits
+
+            def batch(states):
+                arr = ints_to_digits(
+                    [v % P for st in states for v in st],
+                    shape=(len(states), 5),
+                )
+                out = digits_to_ints(native.perm_batch_digits(arr))
+                return [[int(v) for v in row] for row in out]
+
+    except Exception:
+        batch = None
+    if batch is None:
+        perm = _transcript_perm()
+        batch = lambda states: [perm(list(st)) for st in states]
+    _TRANSCRIPT_PERM_BATCH = batch
+    return batch
+
+
+def statement_digest_rows(digest: int, pi_digits) -> list:
+    """statement_digest for B instances straight from a (B, n, N_DIGITS)
+    canonical digit buffer: each row's '<u2' byte stream IS the
+    concatenated 32-byte-LE scalar encoding statement_digest hashes, so
+    the per-value Python to_bytes loop disappears. Bit-identical to
+    [statement_digest(digest, col) for col in columns]."""
+    import numpy as np
+
+    rows = np.ascontiguousarray(np.asarray(pi_digits)).astype("<u2")
+    dbytes = int(digest).to_bytes(32, "little")
+    return [
+        int.from_bytes(
+            hashlib.sha256(dbytes + rows[i].tobytes()).digest(), "little"
+        ) % P
+        for i in range(rows.shape[0])
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Preprocessing: selector + permutation (sigma) polynomials
 # ---------------------------------------------------------------------------

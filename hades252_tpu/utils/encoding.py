@@ -74,7 +74,9 @@ def digits_to_ints(digits) -> np.ndarray:
     flat = digits.reshape(-1, digits.shape[-1])
     out = np.empty(flat.shape[0], dtype=object)
     if flat.shape[-1] == N_DIGITS and flat.size and (flat < 65536).all():
-        buf = np.ascontiguousarray(flat).astype("<u2").tobytes()
+        # memoryview slices share the buffer (a bytes slice would copy
+        # 32 bytes per value — measurable at prover batch sizes)
+        buf = memoryview(np.ascontiguousarray(flat).astype("<u2").tobytes())
         for i in range(flat.shape[0]):
             out[i] = int.from_bytes(buf[32 * i : 32 * (i + 1)], "little")
         return out.reshape(lead)

@@ -226,6 +226,105 @@ def test_open_helpers_match_host(rng):
     assert np.array_equal(dev_nodes, host_nodes)
 
 
+def test_fused_pooled_verifier_matches_host(rng):
+    """The fused single-executable verifier phase (_fused_verify_plan +
+    _fused_pool_body) must produce verdicts identical to the host pooled
+    path (fri.pooled_entries_verify) — on honest proofs AND on tampered
+    ones that reach the Merkle phase (pruned-node substitution, swapped
+    opened blocks, wrong root)."""
+    from dataclasses import replace
+
+    c = _circuit()
+    pi = [g.pi for g in c.gates]
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8,
+                           pow_bits=2, zk=True)
+    pk, vk = fri.preprocess_succinct(c, params)
+    good = fri.prove_succinct(c, pk, rng=np.random.default_rng(11))
+    good2 = fri.prove_succinct(c, pk, rng=np.random.default_rng(12))
+
+    # pruned-path substitution: corrupt one supplied multiproof digit
+    nodes = {k: np.array(v, copy=True) for k, v in good.open_nodes.items()}
+    nodes["w"][0, 0] ^= 1
+    bad_nodes = replace(good, open_nodes=nodes)
+    # swapped opened blocks (same multiset, wrong positions)
+    blocks = dict(good.open_blocks)
+    w = [list(b) for b in blocks["w"]]
+    w[0], w[1] = w[1], w[0]
+    blocks["w"] = [tuple(b) for b in w]
+    bad_blocks = replace(good, open_blocks=blocks)
+    # wrong claimed eval (dies at the zeta identity, before the pool)
+    evals = dict(good.evals)
+    evals["a"] = (evals["a"] + 1) % fri.P
+    bad_eval = replace(good, evals=evals)
+
+    proofs = [good, bad_nodes, good2, bad_blocks, bad_eval]
+    pis = [pi] * len(proofs)
+    host = fri.verify_succinct_batched(vk, proofs, pis)
+
+    def eager_pool(leaf_blocks, nodes_lvls, sels, root_sels):
+        _, perm_rows = _perm_rows()
+        return fri_tpu._fused_pool_body(leaf_blocks, nodes_lvls, sels,
+                                        root_sels, perm_rows, pad_to=1)
+
+    fused = fri.verify_succinct_batched(
+        vk, proofs, pis,
+        entries_check=fri_tpu.fused_entries_check(vk, pool_fn=eager_pool),
+    )
+    assert np.array_equal(host, fused)
+    assert list(host) == [True, False, True, False, False]
+    # the canonical-block padding path must not change any digest
+    def eager_pool_padded(leaf_blocks, nodes_lvls, sels, root_sels):
+        _, perm_rows = _perm_rows()
+        return fri_tpu._fused_pool_body(leaf_blocks, nodes_lvls, sels,
+                                        root_sels, perm_rows, pad_to=8)
+
+    fused_pad = fri.verify_succinct_batched(
+        vk, [good, good2], [pi, pi],
+        entries_check=fri_tpu.fused_entries_check(
+            vk, pool_fn=eager_pool_padded),
+    )
+    assert list(fused_pad) == [True, True]
+
+
+def test_fused_pooled_verifier_aggregate(rng):
+    """verify_aggregate through the fused backend: same verdict as the
+    host pooled path on the honest aggregate and on a tampered node."""
+    from hades252_tpu import aggregate
+
+    cs = []
+    for k in range(2):
+        c = Composer()
+        a = c.append_witness(3 + k)
+        b = c.append_witness(5 + k)
+        c.gate_mul(Constraint().mult(1).a(a).b(b))
+        c.gate_add(Constraint().left(1).a(a).right(1).b(b)
+                   .public(-(8 + 2 * k)))
+        cs.append(c)
+    pis = [[g.pi for g in c.gates] for c in cs]
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8,
+                           pow_bits=2, zk=True)
+    pk, vk = fri.preprocess_succinct(cs[0], params)
+    agg = aggregate.prove_aggregate(cs, pk, rng=np.random.default_rng(5))
+
+    def eager_pool(leaf_blocks, nodes_lvls, sels, root_sels):
+        _, perm_rows = _perm_rows()
+        return fri_tpu._fused_pool_body(leaf_blocks, nodes_lvls, sels,
+                                        root_sels, perm_rows, pad_to=1)
+
+    check = fri_tpu.fused_entries_check(vk, pool_fn=eager_pool)
+    assert aggregate.verify_aggregate(vk, agg, pis)
+    assert aggregate.verify_aggregate(vk, agg, pis, entries_check=check)
+
+    from dataclasses import replace
+
+    nodes = {k: np.array(v, copy=True) for k, v in agg.open_nodes.items()}
+    nodes["z"][0, 0] ^= 1
+    bad = replace(agg, open_nodes=nodes)
+    assert not aggregate.verify_aggregate(vk, bad, pis)
+    assert not aggregate.verify_aggregate(vk, bad, pis,
+                                          entries_check=check)
+
+
 def test_eval_rows_dev_matches_poly_eval(rng):
     from hades252_tpu import plonk
     from hades252_tpu.utils.encoding import digits_to_ints, ints_to_digits

@@ -34,6 +34,45 @@ def test_batched_prover_bit_identical(rng):
         assert plonk.verify(key, pr, [g.pi for g in c.gates])
 
 
+def test_batched_transcript_matches_per_instance(rng):
+    """BatchedTranscript (one batched perm per lock-step stream step)
+    must be bit-identical to B independent Transcripts fed the same
+    per-instance streams — prove_batched's Fiat-Shamir rides it."""
+    b = 7
+    streams = [
+        [int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+        for _ in range(b)
+    ]
+    bt = plonk.BatchedTranscript(b)
+    refs = [plonk.Transcript() for _ in range(b)]
+    for step in range(5):
+        vals = [streams[i][step] for i in range(b)]
+        bt.absorb_each(vals)
+        for i in range(b):
+            refs[i].absorb(vals[i])
+        if step in (1, 3):
+            got = bt.challenge_each()
+            want = [refs[i].challenge() for i in range(b)]
+            assert got == want
+    assert bt.states == [r.state for r in refs]
+    with pytest.raises(ValueError, match="one absorbed value"):
+        bt.absorb_each([1] * (b + 1))
+
+
+def test_statement_digest_rows_matches_scalar(rng):
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    digest = int.from_bytes(rng.bytes(40), "little") % P
+    cols = [
+        [int.from_bytes(rng.bytes(40), "little") % P for _ in range(6)]
+        for _ in range(3)
+    ]
+    rows = ints_to_digits(cols, shape=(3, 6))
+    got = plonk.statement_digest_rows(digest, rows)
+    want = [plonk.statement_digest(digest, col) for col in cols]
+    assert got == want
+
+
 def test_batched_prover_rejects_mixed_circuits():
     c1 = _instance(3, 5)
     c2 = Composer()
