@@ -286,6 +286,44 @@ def test_fused_pooled_verifier_matches_host(rng):
     assert list(fused_pad) == [True, True]
 
 
+def test_fused_plan_shapes_stable_across_query_sets(rng):
+    """One executable must serve EVERY query set: _fused_verify_plan's
+    output array shapes depend only on (entry count, heights, block
+    widths, q_cap) — never on the actual transcript-derived indices.
+    A fresh shape through the relay is a fresh server-side compile, so a
+    shape that varied with the queries would recompile per proof."""
+    c = _circuit()
+    pi = [g.pi for g in c.gates]
+    params = fri.FriParams(blowup=4, n_queries=3, final_degree=8,
+                           pow_bits=2, zk=True)
+    pk, vk = fri.preprocess_succinct(c, params)
+
+    def plan_shapes(seed):
+        proof = fri.prove_succinct(c, pk, rng=np.random.default_rng(seed))
+        shapes = {}
+
+        def probe(entries):
+            lb, nl, sl, rs, _own = fri_tpu._fused_verify_plan(
+                entries, vk.params.n_queries
+            )
+            shapes["v"] = (
+                tuple(b.shape for b in lb),
+                tuple(x.shape for x in nl),
+                tuple(s.shape for s in sl),
+                tuple(r.shape for r in rs),
+            )
+            return fri.pooled_entries_verify(entries, fri.default_pcs_perm())
+
+        assert fri.verify_succinct_batched(vk, [proof], [pi],
+                                           entries_check=probe)[0]
+        return shapes["v"]
+
+    # different witnesses/rng -> different roots -> different transcript
+    # challenges -> different query indices; shapes must not move
+    s1, s2, s3 = plan_shapes(1), plan_shapes(2), plan_shapes(3)
+    assert s1 == s2 == s3
+
+
 def test_fused_pooled_verifier_aggregate(rng):
     """verify_aggregate through the fused backend: same verdict as the
     host pooled path on the honest aggregate and on a tampered node."""
