@@ -563,12 +563,18 @@ def _blind_dev(coeffs: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return field.sub_mod(field.add_mod(out, plus), minus)
 
 
-def _deep_dev(stack, vs, gammas, pows, inv_a, inv_b, spec):
-    """F on L0 per instance: stack (B, T_rows, m0, D) poly evaluations;
-    vs (B, T, D) claimed values; gammas (B, T, D) Montgomery gdeep powers;
-    pows (S, m0, D) shared Montgomery x^s tables; inv_a/inv_b (B, m0, D)
-    Montgomery 1/(x - zeta_i), 1/(x - omega*zeta_i); spec: static tuple
-    of (row, s_index, shifted). Returns (B, m0, D)."""
+#: Largest m0 slab the DEEP composition materializes at once. Each
+#: mont_mul over (B, m, D) holds a (B, m, D, D) u32 wide product; with
+#: ~17 terms x 3 muls the scheduler keeps several alive, so an unchunked
+#: m0 = 2^18 batch blew past the v5e's 15.75G HBM (measured OOM at the
+#: n = 2^14 circuit, tools/bench_r4_scaling.log). 2^15 bounds the live
+#: wide products to ~64 MB each while keeping the VPU saturated.
+DEEP_CHUNK = 1 << 15
+
+
+def _deep_terms_chunk(stack, vs, gammas, pows, inv_a, inv_b, spec):
+    """The DEEP term loop on one m0 slab (shapes as _deep_dev, m0 =
+    chunk)."""
     out_shape = (stack.shape[0],) + stack.shape[2:]
     acc = jnp.zeros(out_shape, jnp.uint32)
     for j, (row, s_idx, shifted) in enumerate(spec):
@@ -582,6 +588,42 @@ def _deep_dev(stack, vs, gammas, pows, inv_a, inv_b, spec):
         )
         acc = field.add_mod(acc, term)
     return acc
+
+
+def _deep_dev(stack, vs, gammas, pows, inv_a, inv_b, spec):
+    """F on L0 per instance: stack (B, T_rows, m0, D) poly evaluations;
+    vs (B, T, D) claimed values; gammas (B, T, D) Montgomery gdeep powers;
+    pows (S, m0, D) shared Montgomery x^s tables; inv_a/inv_b (B, m0, D)
+    Montgomery 1/(x - zeta_i), 1/(x - omega*zeta_i); spec: static tuple
+    of (row, s_index, shifted). Returns (B, m0, D).
+
+    m0 beyond DEEP_CHUNK streams through a lax.map over m0 slabs (the
+    composition is pointwise along m0, so chunking is value-identical) —
+    HBM stays bounded at any circuit size instead of scaling with
+    m0 x D^2 wide-product temporaries."""
+    b, m0 = stack.shape[0], stack.shape[2]
+    if m0 <= DEEP_CHUNK:
+        return _deep_terms_chunk(stack, vs, gammas, pows, inv_a, inv_b,
+                                 spec)
+    n_chunks = m0 // DEEP_CHUNK
+    ck = DEEP_CHUNK
+    st = stack.reshape(b, stack.shape[1], n_chunks, ck, N_DIGITS)
+    st = jnp.moveaxis(st, 2, 0)               # (n_chunks, B, T_rows, ck, D)
+    pw = pows.reshape(pows.shape[0], n_chunks, ck, N_DIGITS)
+    pw = jnp.moveaxis(pw, 1, 0)               # (n_chunks, S, ck, D)
+    ia = jnp.moveaxis(
+        inv_a.reshape(b, n_chunks, ck, N_DIGITS), 1, 0
+    )
+    ib = jnp.moveaxis(
+        inv_b.reshape(b, n_chunks, ck, N_DIGITS), 1, 0
+    )
+
+    def one(xs):
+        st_c, pw_c, ia_c, ib_c = xs
+        return _deep_terms_chunk(st_c, vs, gammas, pw_c, ia_c, ib_c, spec)
+
+    out = jax.lax.map(one, (st, pw, ia, ib))  # (n_chunks, B, ck, D)
+    return jnp.moveaxis(out, 0, 1).reshape(b, m0, N_DIGITS)
 
 
 _deep_dev_jit = jax.jit(_deep_dev, static_argnames=("spec",))

@@ -286,6 +286,39 @@ def test_fused_pooled_verifier_matches_host(rng):
     assert list(fused_pad) == [True, True]
 
 
+def test_deep_dev_chunked_matches_unchunked(rng, monkeypatch):
+    """_deep_dev streams m0 > DEEP_CHUNK through lax.map slabs (the v5e
+    OOM fix at n=2^14, tools/bench_r4_scaling.log); the composition is
+    pointwise along m0 so the chunked output must be bit-identical."""
+    import jax.numpy as jnp
+
+    from hades252_tpu.params import P
+    from hades252_tpu.utils.encoding import ints_to_digits
+
+    def rand(shape):
+        k = int(np.prod(shape))
+        vals = [int.from_bytes(rng.bytes(40), "little") % P
+                for _ in range(k)]
+        return jnp.asarray(ints_to_digits(vals, shape=shape))
+
+    b, t_rows, m0, s = 2, 3, 16, 2
+    stack = rand((b, t_rows, m0))
+    vs = rand((b, 3))
+    gammas = rand((b, 3))
+    pows = rand((s, m0))
+    inv_a = rand((b, m0))
+    inv_b = rand((b, m0))
+    spec = ((0, 0, False), (1, 1, True), (2, 0, False))
+    full = np.asarray(fri_tpu._deep_terms_chunk(
+        stack, vs, gammas, pows, inv_a, inv_b, spec
+    ))
+    monkeypatch.setattr(fri_tpu, "DEEP_CHUNK", 4)
+    chunked = np.asarray(fri_tpu._deep_dev(
+        stack, vs, gammas, pows, inv_a, inv_b, spec
+    ))
+    assert np.array_equal(full, chunked)
+
+
 def test_fused_plan_shapes_stable_across_query_sets(rng):
     """One executable must serve EVERY query set: _fused_verify_plan's
     output array shapes depend only on (entry count, heights, block
