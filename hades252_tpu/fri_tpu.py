@@ -1609,6 +1609,12 @@ def _fused_verify_plan(entries, q_cap: int):
                 "malformed pooled entry (the batched verifier validates "
                 "proofs before building entries)"
             )
+        # Digits ride the wire as uint16 (halves the fused phase's relay
+        # upload); guard the narrowing so a non-canonical digit can never
+        # silently wrap — every backend's digit contract is 16-bit.
+        if ((np.asarray(blocks, np.uint32) >> 16).any()
+                or (np.asarray(nodes, np.uint32) >> 16).any()):
+            raise ValueError("non-canonical (>16-bit) digit in pooled entry")
 
     def g_cap(h, lvl):
         return min(q_cap, ARITY ** (h - lvl - 1)) if lvl < h else 0
@@ -1617,7 +1623,7 @@ def _fused_verify_plan(entries, q_cap: int):
     leaf_blocks = []
     for gid, idxs in gid_rows.items():
         bs = bs_of_gid[gid]
-        blk = np.zeros((len(idxs) * q_cap, bs, N_DIGITS), np.uint32)
+        blk = np.zeros((len(idxs) * q_cap, bs, N_DIGITS), np.uint16)
         for k, e_i in enumerate(idxs):
             rows = entries[e_i][2]
             blk[k * q_cap : k * q_cap + rows.shape[0]] = rows
@@ -1640,10 +1646,10 @@ def _fused_verify_plan(entries, q_cap: int):
         n_tot.append(no)
 
     pool_rows = [n_entries * q_cap] + g_tot[:-1]
-    nodes_lvls = [np.zeros((n_tot[lvl], N_DIGITS), np.uint32)
+    nodes_lvls = [np.zeros((n_tot[lvl], N_DIGITS), np.uint16)
                   for lvl in range(max_h)]
     sels = [np.full((g_tot[lvl], ARITY),
-                    pool_rows[lvl] + n_tot[lvl], np.int64)
+                    pool_rows[lvl] + n_tot[lvl], np.int32)
             for lvl in range(max_h)]
     root_sels = [[] for _ in range(max_h + 1)]
     root_owner = [[] for _ in range(max_h + 1)]
@@ -1679,7 +1685,7 @@ def _fused_verify_plan(entries, q_cap: int):
         root_owner[height].append(e_i)
 
     return (leaf_blocks, nodes_lvls, sels,
-            [np.asarray(r, np.int64) for r in root_sels], root_owner)
+            [np.asarray(r, np.int32) for r in root_sels], root_owner)
 
 
 def _fused_pool_body(leaf_blocks, nodes_lvls, sels, root_sels, perm_fn,
@@ -1687,16 +1693,24 @@ def _fused_pool_body(leaf_blocks, nodes_lvls, sels, root_sels, perm_fn,
     """One traceable body for the verifier's whole pooled Merkle phase:
     every entry's leaf sponges, then one batched permutation per tree
     level over a gather program (_fused_verify_plan). Returns the
-    extracted root digests per level."""
+    extracted root digests per level.
+
+    Digit buffers arrive uint16 (the plan narrows them — canonical
+    digits are 16-bit, guarded there) and widen to the kernel's uint32
+    lanes here, on device: the host->device upload is the fused phase's
+    dominant byte cost through the relay, and u16 halves it."""
     digs = [
-        _sponge_digests_body(blk, perm_fn, pad_to) for blk in leaf_blocks
+        _sponge_digests_body(jnp.asarray(blk).astype(jnp.uint32),
+                             perm_fn, pad_to)
+        for blk in leaf_blocks
     ]
     pool = jnp.concatenate(digs, axis=0)
     tag_row = jnp.asarray(fri._tag_digits())
     zero = jnp.zeros((1, N_DIGITS), jnp.uint32)
     roots = [pool[root_sels[0]]]  # single-leaf trees: root = leaf digest
     for lvl in range(len(sels)):
-        buf = jnp.concatenate([pool, nodes_lvls[lvl], zero], axis=0)
+        nodes = jnp.asarray(nodes_lvls[lvl]).astype(jnp.uint32)
+        buf = jnp.concatenate([pool, nodes, zero], axis=0)
         children = buf[sels[lvl]]               # (G, ARITY, D)
         g = children.shape[0]
         tag = jnp.broadcast_to(tag_row, (g, 1, N_DIGITS))
