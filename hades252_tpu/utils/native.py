@@ -11,6 +11,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
 from functools import cache
 
 import numpy as np
@@ -121,6 +122,64 @@ def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
     b = digits.shape[0]
     out = perm_batch_bytes(digits_to_bytes(digits), b)
     return bytes_to_digits(out, (b, 5))
+
+
+def perm_batch_digits_mt(digits: np.ndarray,
+                         n_threads: int | None = None) -> np.ndarray:
+    """Multi-thread native permutation: shard the batch across OS
+    threads, each running hades_perm_batch on its contiguous slice of
+    ONE shared buffer. hades_perm_batch is stateless over caller memory
+    (the round constants are read-only after hades_init) and ctypes
+    releases the GIL for the duration of each foreign call, so the
+    shards genuinely run in parallel. Bit-identical to
+    perm_batch_digits — same C++ per state, disjoint slices
+    (tests/test_native.py pins the identity).
+
+    The single-thread engine stays the default everywhere (it mirrors
+    the reference crate's performance class and keeps the pinned
+    vs_baseline denominator stable); serving hosts with C cores can
+    inject this via fri's perm_fn seams to cut pooled verification
+    hashing ~C-fold. On this 1-core dev VM it is correctness-tested but
+    measures neutral (PERF.md "Future work", multi-core lever)."""
+    b = int(digits.shape[0])
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    n_threads = max(1, min(int(n_threads), b))
+    if n_threads == 1 or b == 0:
+        return perm_batch_digits(digits)
+    from .encoding import bytes_to_digits, digits_to_bytes
+
+    lib = _lib()
+    raw = digits_to_bytes(digits)
+    buf = ctypes.create_string_buffer(raw, len(raw))
+    base = ctypes.addressof(buf)
+    bounds = [b * t // n_threads for t in range(n_threads + 1)]
+    errs = [0] * n_threads
+
+    def run(t: int) -> None:
+        lo, hi = bounds[t], bounds[t + 1]
+        if hi > lo:
+            errs[t] = lib.hades_perm_batch(base + lo * 5 * 32, hi - lo)
+
+    threads = [threading.Thread(target=run, args=(t,))
+               for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    if any(errs):
+        raise NativeUnavailable("hades_perm_batch failed")
+    return bytes_to_digits(buf.raw, (b, 5))
+
+
+def threaded_perm(n_threads: int | None = None):
+    """perm_fn factory over perm_batch_digits_mt for injection into the
+    fri/aggregate perm_fn seams (pooled_entries_verify,
+    verify_succinct_batched, tree builds). Raises NativeUnavailable up
+    front when the native engine cannot build."""
+    _lib()
+    return lambda s: perm_batch_digits_mt(np.asarray(s, np.uint32),
+                                          n_threads)
 
 
 def sponge_hash_digits(msgs: np.ndarray) -> np.ndarray:

@@ -86,3 +86,40 @@ def test_native_cipher_parity(rng):
     pt_n, tag_n2 = native.cipher_digits(key, nonce, ct_n, decrypt=True)
     assert np.array_equal(pt_n, msg)
     assert np.array_equal(tag_n2, tag_n)
+
+
+def test_native_mt_perm_bit_identical(rng):
+    """perm_batch_digits_mt shards one buffer across OS threads; every
+    shard runs the same C++ per state, so outputs must be bit-identical
+    to the single-thread engine for every thread count and for batch
+    sizes that do and don't divide evenly (including threads > batch)."""
+    vals = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+            for _ in range(11)]
+    x = ints_to_digits(vals, shape=(11, 5))
+    want = native.perm_batch_digits(x)
+    for nt in (1, 2, 3, 4, 16):
+        got = native.perm_batch_digits_mt(x, n_threads=nt)
+        assert np.array_equal(got, want), nt
+    # the injectable perm_fn factory wraps the same path
+    fn = native.threaded_perm(3)
+    assert np.array_equal(fn(x), want)
+
+
+def test_native_mt_perm_through_verify_seam(rng):
+    """The threaded engine must be injectable at fri's perm_fn seam with
+    verdicts identical to the default engine: build a tree with the
+    single-thread perm, verify its openings with the threaded one."""
+    from hades252_tpu import fri
+
+    leaves = [int.from_bytes(rng.bytes(40), "little") % P
+              for _ in range(16)]
+    levels = fri.tree_build(leaves, native.perm_batch_digits)
+    root = int(digits_to_ints(levels[-1][0]))
+    idx = [1, 7, 12]
+    nodes = fri.multiproof_open(levels, idx)
+    digs = levels[0][idx]
+    ok = fri.multiproof_verify_many(
+        [(root, digs, idx, nodes, len(levels) - 1)],
+        native.threaded_perm(2),
+    )
+    assert ok.tolist() == [True]
