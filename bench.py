@@ -621,8 +621,12 @@ def main_verify():
             time.perf_counter() - t0, 3
         )
         if dev_secs < host_secs:
+            # headline = best path; keep the host figure under its own
+            # key so min(host, device) never masks the true host time
+            # (CLAUDE.md "bench.py verify headline semantics")
             out["value"] = round(bsz / dev_secs, 2)
             out["sec_per_batch"] = round(dev_secs, 3)
+            out["sec_per_batch_host"] = round(host_secs, 3)
     print(json.dumps(out))
     return 0
 
