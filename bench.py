@@ -577,8 +577,9 @@ def main_verify():
     t0 = time.perf_counter()
     fri.verify_succinct_batched(vk, proofs, pis)
     host_secs = time.perf_counter() - t0
+    phases = {}
     t0 = time.perf_counter()
-    fri.verify_succinct(vk, proof, pi)
+    fri.verify_succinct_batched(vk, [proof], [pi], timings=phases)
     single_secs = time.perf_counter() - t0
 
     out = {
@@ -588,6 +589,12 @@ def main_verify():
         "unit": "verifications/sec/chip",
         "sec_per_batch": round(host_secs, 3),
         "sec_single_verify": round(single_secs, 3),
+        # per-phase profile of the single host verify (VERDICT r4 #1):
+        # transcript replay + structural + zeta identity / pooled leaf
+        # sponges + multiproof climbs / DEEP + fold + final-poly algebra
+        "single_phase_prepare_s": round(phases.get("prepare_s", 0.0), 4),
+        "single_phase_merkle_s": round(phases.get("merkle_s", 0.0), 4),
+        "single_phase_algebra_s": round(phases.get("algebra_s", 0.0), 4),
         "batch_size": bsz,
         "verdict_gate": "passed",
     }

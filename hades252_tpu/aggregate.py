@@ -74,6 +74,7 @@ from .fri import (
     _deep_compose_terms,
     _deep_eval_terms,
     _fold_check,
+    _fold_inv_table,
     _fri_commit,
     _fri_proof,
     _open_paired,
@@ -496,8 +497,10 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
     if not bool(np.all(ok)):
         return False
 
-    # 4. fold each query through the shared layers
+    # 4. fold each query through the shared layers (one batched inversion
+    # covers every DEEP denominator and fold point — _fold_inv_table)
     agg_terms = _agg_terms(bounds, n_inst)
+    inv_of = _fold_inv_table(queries, m0, sched, zeta, omega)
 
     def deep_pair(qi, x):
         q = queries[qi]
@@ -514,10 +517,11 @@ def verify_aggregate(vk: VerifyingKey, proof: AggregateProof,
                 v = evals[j][ename]
             lo_terms.append((blk[col], v, shifted, dj))
             hi_terms.append((blk[half + col], v, shifted, dj))
-        f_lo = _deep_eval_terms(x, d_bound, lo_terms, zeta, omega, gdeep)
+        f_lo = _deep_eval_terms(x, d_bound, lo_terms, zeta, omega, gdeep,
+                                inv_of)
         f_hi = _deep_eval_terms((P - x) % P, d_bound, hi_terms, zeta,
-                                omega, gdeep)
+                                omega, gdeep, inv_of)
         return f_lo, f_hi
 
     return _fold_check(queries, betas, m0, n_folds, sched, layer_by,
-                       proof.fri.final_coeffs, deep_pair)
+                       proof.fri.final_coeffs, deep_pair, inv_of)

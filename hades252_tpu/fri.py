@@ -128,13 +128,21 @@ def default_pcs_perm():
     host, and a device round-trip per level (plus a relay compile per
     distinct level shape) is far slower than the native engine for these
     tree sizes; the fully device-resident tree path lives in fri_tpu
-    (_build_levels / _level_up_dev). All backends are bit-identical
+    (_build_levels / _level_up_dev). On hosts with more than one CPU
+    core the native engine shards each batch across OS threads
+    (native.perm_batch_digits_mt — bit-identical, ctypes releases the
+    GIL), so pooled verification hashing scales with the serving host's
+    cores by default (VERDICT r4 #8). All backends are bit-identical
     (selftest KATs), so trees built by any backend verify against roots
     built by any other."""
     try:
+        import os as _os
+
         from .utils import native
 
         if native.available():
+            if (_os.cpu_count() or 1) > 1:
+                return native.perm_batch_digits_mt
             return native.perm_batch_digits
     except Exception:
         pass
@@ -803,9 +811,58 @@ def fold_evals(evals: list[int], shift: int, beta: int) -> list[int]:
     return out
 
 
-def _fold_pair(a: int, b: int, beta: int, x: int) -> int:
-    """Verifier-side single fold at x (= the point whose pair is -x)."""
-    return ((a + b) + beta * (a - b) % P * pow(x, P - 2, P)) % P * INV2 % P
+def _fold_pair(a: int, b: int, beta: int, x: int, inv_of=None) -> int:
+    """Verifier-side single fold at x (= the point whose pair is -x).
+    inv_of, if given, maps x -> x^{-1} (precomputed via ONE batched
+    inversion per verification, _fold_inv_table) instead of a Fermat
+    exponentiation per fold step."""
+    x_inv = inv_of[x] if inv_of is not None else pow(x, P - 2, P)
+    return ((a + b) + beta * (a - b) % P * x_inv) % P * INV2 % P
+
+
+def _batch_inverse0(vals: list[int]) -> list[int]:
+    """batch_inverse with pow(0, P-2, P) == 0 semantics for zero entries
+    (the verifier's denominators are attacker-influenced; a zero must
+    yield the same garbage-then-reject behavior as the per-term modexp
+    it replaces, not an exception)."""
+    nz = [v % P or 1 for v in vals]
+    inv = batch_inverse(nz)
+    return [iv if v % P else 0 for v, iv in zip(vals, inv)]
+
+
+def _fold_inv_table(queries, m0: int, sched, zeta: int, omega: int) -> dict:
+    """Every modular inverse the DEEP + fold phase needs for these
+    queries — the layer-0 points +-x_q, their DEEP denominators
+    (+-x_q - zeta), (+-x_q - omega*zeta), and each committed layer's
+    on-path fold points — computed with ONE batched inversion
+    (Montgomery's trick). Keyed by the point itself, so _fold_check /
+    _deep_eval just look up what they previously exponentiated
+    (VERDICT r4 next #1: the host verifier's per-query algebra was
+    ~half its latency, almost all of it Fermat inversions)."""
+    w0 = _domain_root(m0)
+    zw = zeta * omega % P
+    pts = set()
+    chains = [layer_positions(q, m0, sched) for q in queries]
+    for q in set(int(q) for q in queries):
+        x = G0 * pow(w0, q, P) % P
+        pts.add(x)
+        for y in (x, (P - x) % P):
+            pts.add((y - zeta) % P)
+            pts.add((y - zw) % P)
+    for li, (k, bs) in enumerate(sched):
+        m_k = m0 >> k
+        npos = m_k // bs
+        wk = _domain_root(m_k)
+        base = pow(G0, 1 << k, P)
+        wnp = pow(wk, npos, P)
+        for b_pos in {c[li] for c in chains}:
+            xk = base * pow(wk, b_pos, P) % P
+            pts.add(xk)
+            if bs == 4:
+                pts.add(xk * wnp % P)
+                pts.add(xk * xk % P)
+    pts = sorted(pts)
+    return dict(zip(pts, _batch_inverse0(pts)))
 
 
 # ---------------------------------------------------------------------------
@@ -977,29 +1034,43 @@ def _deep_compose(m0: int, bounds: dict, poly_evals: dict, evals: dict,
 
 
 def _deep_eval_terms(x: int, d_bound: int, term_list, zeta: int,
-                     omega: int, gdeep: int) -> int:
+                     omega: int, gdeep: int, inv_of=None) -> int:
     """Verifier: F at one query point from generic terms
-    (opened_value, v, shifted, dj); same order as _deep_compose_terms."""
+    (opened_value, v, shifted, dj); same order as _deep_compose_terms.
+    inv_of (see _fold_inv_table) replaces the two per-point Fermat
+    inversions; the degree-shift powers x^s are shared across the terms
+    with equal bounds (only ~5 distinct exponents, all << |F|)."""
+    zw = zeta * omega % P
+    den_z, den_wz = (x - zeta) % P, (x - zw) % P
+    if inv_of is not None:
+        inv_z, inv_wz = inv_of[den_z], inv_of[den_wz]
+    else:
+        inv_z = pow(den_z, P - 2, P)
+        inv_wz = pow(den_wz, P - 2, P)
+    xpow: dict[int, int] = {}
     acc = 0
     gpow = 1
     for opened, v, shifted, dj in term_list:
         s = d_bound + 1 - dj
-        pt = zeta * omega % P if shifted else zeta
+        xs = xpow.get(s)
+        if xs is None:
+            xs = xpow[s] = pow(x, s, P)
         diff = (opened - v) % P
-        term = pow(x, s, P) * diff % P * pow((x - pt) % P, P - 2, P) % P
+        term = xs * diff % P * (inv_wz if shifted else inv_z) % P
         acc = (acc + gpow * term) % P
         gpow = gpow * gdeep % P
     return acc
 
 
 def _deep_eval(x: int, bounds: dict, opened: dict, evals: dict, zeta: int,
-               omega: int, gdeep: int) -> int:
+               omega: int, gdeep: int, inv_of=None) -> int:
     """Verifier: F at one query point from the opened leaf values."""
     term_list = [
         (opened[pname], evals[ename], shifted, dj)
         for pname, ename, shifted, dj in _terms(bounds)
     ]
-    return _deep_eval_terms(x, bounds["D"], term_list, zeta, omega, gdeep)
+    return _deep_eval_terms(x, bounds["D"], term_list, zeta, omega, gdeep,
+                            inv_of)
 
 
 # ---------------------------------------------------------------------------
@@ -1365,7 +1436,11 @@ def proof_schema(n: int, params: FriParams) -> dict:
 
 def _check_opening(blocks, nodes, s_idx, bs: int, height: int):
     """Normalize + structurally validate one pruned opening; returns
-    ([[int]], nodes (T, N_DIGITS)) or None."""
+    ([[int]], nodes (T, N_DIGITS)) or None. Node digits must be
+    canonical (16-bit digits, value < p) — the digit contract of every
+    permutation backend; rejecting here keeps host and fused-device
+    verdicts identical for programmatically constructed non-canonical
+    proofs (wire deserialization already enforces this)."""
     if blocks is None or nodes is None:
         return None
     if len(blocks) != len(s_idx) or any(len(b) != bs for b in blocks):
@@ -1375,6 +1450,15 @@ def _check_opening(blocks, nodes, s_idx, bs: int, height: int):
         return None
     if nodes.shape[0] != multiproof_nodes_total(s_idx, height):
         return None
+    if nodes.size:
+        from .utils.encoding import check_canonical_digits
+
+        if bool((nodes >> 16).any()):
+            return None
+        try:
+            check_canonical_digits(nodes, "non-canonical")
+        except ValueError:
+            return None
     return [[int(v) % P for v in b] for b in blocks], nodes
 
 
@@ -1482,7 +1566,8 @@ def _verify_prepare(vk: VerifyingKey, proof: SuccinctProof, public_inputs,
 
 
 def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
-                            perm_fn=None, entries_check=None) -> np.ndarray:
+                            perm_fn=None, entries_check=None,
+                            timings: dict | None = None) -> np.ndarray:
     """Verify MANY succinct proofs against one verifying key with pooled
     Merkle hashing: every proof's every tree (phase trees, the key tree,
     the FRI layer trees) becomes one pruned-multiproof entry, and ALL
@@ -1497,13 +1582,23 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
     entries_check: optional backend for the pooled sponge+multiproof
     phase — callable(entries) -> (len(entries),) bool, entries as in
     pooled_entries_verify (the default). fri_tpu passes its fused
-    single-executable device twin here; verdicts must be identical."""
+    single-executable device twin here; verdicts must be identical.
+
+    timings: optional dict; on return it carries the per-phase wall
+    seconds {"prepare_s": transcript replay + structural checks + the
+    zeta identity, "merkle_s": pooled leaf sponges + multiproof climbs,
+    "algebra_s": the per-query DEEP/fold/final-poly algebra} (the
+    profile bench.py verify reports)."""
+    import time as _time
+
     if len(proofs) != len(public_inputs_list):
         raise ValueError("one public-input list per proof required")
     if perm_fn is None:
         perm_fn = default_pcs_perm()
     n_proofs = len(proofs)
     verdict = np.zeros(n_proofs, bool)
+    if timings is not None:
+        timings.update(prepare_s=0.0, merkle_s=0.0, algebra_s=0.0)
     if not n_proofs:
         return verdict
 
@@ -1513,16 +1608,20 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
     m0, n_folds, sched = shapes["m0"], shapes["n_folds"], shapes["sched"]
     cols = tree_columns(params.zk)
 
+    t0 = _time.perf_counter()
     ctx = [
         _verify_prepare(vk, proof, pis, shapes)
         for proof, pis in zip(proofs, public_inputs_list)
     ]
+    if timings is not None:
+        timings["prepare_s"] = _time.perf_counter() - t0
     alive = [b for b in range(n_proofs) if ctx[b] is not None]
     if not alive:
         return verdict
 
     # 4. pooled leaf digests + ONE pooled multiproof pass over every
     # (proof, tree) pair
+    t0 = _time.perf_counter()
     entries, owners = [], []
 
     def add_entries(gid, height, root_of, blocks_of, idx_of, nodes_of):
@@ -1561,15 +1660,20 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
     else:
         ok = entries_check(entries)
     failed = {b for b, good in zip(owners, ok) if not good}
+    if timings is not None:
+        timings["merkle_s"] = _time.perf_counter() - t0
 
     # 5. fold each query through the layers to the final polynomial
+    t0 = _time.perf_counter()
     for b in alive:
         if b in failed:
             continue
         c = ctx[b]
         ev, zeta, gdeep = c["ev"], c["zeta"], c["gdeep"]
+        inv_of = _fold_inv_table(c["queries"], m0, sched, zeta, omega)
 
-        def deep_pair(qi, x, c=c, ev=ev, zeta=zeta, gdeep=gdeep):
+        def deep_pair(qi, x, c=c, ev=ev, zeta=zeta, gdeep=gdeep,
+                      inv_of=inv_of):
             q = c["queries"][qi]
             opened_lo, opened_hi = {}, {}
             for tname, colnames in cols.items():
@@ -1578,32 +1682,37 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
                 for ci, pname in enumerate(colnames):
                     opened_lo[pname] = blk[ci]
                     opened_hi[pname] = blk[nc + ci]
-            f_lo = _deep_eval(x, bounds, opened_lo, ev, zeta, omega, gdeep)
+            f_lo = _deep_eval(x, bounds, opened_lo, ev, zeta, omega, gdeep,
+                              inv_of)
             f_hi = _deep_eval((P - x) % P, bounds, opened_hi, ev, zeta,
-                              omega, gdeep)
+                              omega, gdeep, inv_of)
             return f_lo, f_hi
 
         verdict[b] = _fold_check(
             c["queries"], c["betas"], m0, n_folds, sched, c["layer_by"],
-            proofs[b].fri.final_coeffs, deep_pair,
+            proofs[b].fri.final_coeffs, deep_pair, inv_of,
         )
+    if timings is not None:
+        timings["algebra_s"] = _time.perf_counter() - t0
     return verdict
 
 
 def _fold_check(queries, betas, m0: int, n_folds: int, sched, layer_by,
-                final_coeffs, deep_pair_fn) -> bool:
+                final_coeffs, deep_pair_fn, inv_of=None) -> bool:
     """Fold every query through the committed layers to the final
     polynomial. deep_pair_fn(qi, x) -> (F(x), F(-x)) from the opened
     layer-0 blocks; layer_by[li] maps a committed layer's opened block
     position to its bs claimed values (the fold coset {b + t*npos}).
     Quad blocks verify two fold steps per opening: the running value
     must equal the block's on-path entry, then both in-block pairs fold
-    (same beta) and the two results fold once more."""
+    (same beta) and the two results fold once more. inv_of: the
+    precomputed inverse table (_fold_inv_table); without it every fold
+    pays a Fermat exponentiation."""
     w0 = _domain_root(m0)
     for qi, q in enumerate(queries):
         x = G0 * pow(w0, q, P) % P
         f_lo, f_hi = deep_pair_fn(qi, x)
-        v = _fold_pair(f_lo, f_hi, betas[0], x)
+        v = _fold_pair(f_lo, f_hi, betas[0], x, inv_of)
         i = q  # position in layer 1 (size m0/2)
         for li, (k, bs) in enumerate(sched):
             m_k = m0 >> k
@@ -1620,11 +1729,11 @@ def _fold_check(queries, betas, m0: int, n_folds: int, sched, layer_by,
                 # x_k * w^{m/4}; their folds land at (b, b + m'/2) with
                 # coordinates (x_k^2, -x_k^2)
                 x1 = xk * pow(_domain_root(m_k), npos, P) % P
-                u0 = _fold_pair(block[0], block[2], betas[k], xk)
-                u1 = _fold_pair(block[1], block[3], betas[k], x1)
-                v = _fold_pair(u0, u1, betas[k + 1], xk * xk % P)
+                u0 = _fold_pair(block[0], block[2], betas[k], xk, inv_of)
+                u1 = _fold_pair(block[1], block[3], betas[k], x1, inv_of)
+                v = _fold_pair(u0, u1, betas[k + 1], xk * xk % P, inv_of)
             else:
-                v = _fold_pair(block[0], block[1], betas[k], xk)
+                v = _fold_pair(block[0], block[1], betas[k], xk, inv_of)
             i = b_pos
         m_l = m0 >> n_folds
         x_final = (pow(G0, 1 << n_folds, P)

@@ -47,15 +47,10 @@ def ints_to_digits(values, shape=None) -> np.ndarray:
     out = out.reshape(tuple(shape) + (N_DIGITS,))
     # vectorized canonicality check (value < p), replacing the per-value
     # Python comparison loop
-    pd = _P_DIGITS_DESC
-    flat2 = out.reshape(-1, N_DIGITS)
-    ge = np.zeros(flat2.shape[0], bool)
-    eq = np.ones(flat2.shape[0], bool)
-    for i in range(N_DIGITS - 1, -1, -1):
-        ge |= eq & (flat2[:, i] > pd[i])
-        eq &= flat2[:, i] == pd[i]
-    if bool((ge | eq).any()):
-        raise ValueError("not a canonical field element: value >= p")
+    check_canonical_digits(
+        out.reshape(-1, N_DIGITS),
+        "not a canonical field element: value >= p",
+    )
     return out
 
 
@@ -109,13 +104,49 @@ def scalar_from_bytes(b: bytes) -> int:
     return x
 
 
+def check_canonical_digits(flat: np.ndarray, msg: str) -> None:
+    """Vectorized canonicality check on (K, N_DIGITS) normalized digits
+    (each < 2^16): every value must be < p or ValueError(msg) is raised."""
+    pd = _P_DIGITS_DESC
+    ge = np.zeros(flat.shape[0], bool)
+    eq = np.ones(flat.shape[0], bool)
+    for i in range(N_DIGITS - 1, -1, -1):
+        ge |= eq & (flat[:, i] > pd[i])
+        eq &= flat[:, i] == pd[i]
+    if bool((ge | eq).any()):
+        raise ValueError(msg)
+
+
 def digits_to_bytes(digits) -> bytes:
-    """(..., N_DIGITS) digit array -> concatenated 32-byte LE scalars."""
+    """(..., N_DIGITS) digit array -> concatenated 32-byte LE scalars.
+
+    Fast path for NORMALIZED digits (each < 2^16, the invariant of every
+    field op's output): the uint16 little-endian digit buffer IS the
+    canonical 32-byte LE scalar encoding, so one astype+tobytes replaces
+    the per-value Python-int round trip (this conversion sits under every
+    native-engine call — it was ~half the host verifier's hashing time)."""
+    digits = np.asarray(digits)
+    if digits.size == 0:
+        return b""
+    flat = digits.reshape(-1, digits.shape[-1])
+    if flat.shape[-1] == N_DIGITS and bool((flat < 65536).all()):
+        flat = flat.astype(np.uint32, copy=False)
+        check_canonical_digits(
+            flat, "not a canonical field element: value >= p"
+        )
+        return np.ascontiguousarray(flat).astype("<u2").tobytes()
     return b"".join(scalar_to_bytes(v) for v in digits_to_ints(digits).reshape(-1))
 
 
 def bytes_to_digits(data: bytes, shape) -> np.ndarray:
-    """Concatenated 32-byte LE scalars -> (..., N_DIGITS) uint32."""
+    """Concatenated 32-byte LE scalars -> (..., N_DIGITS) uint32.
+    Vectorized decode + canonicality check (rejects values >= p exactly
+    like scalar_from_bytes)."""
     n = len(data) // 32
-    vals = [scalar_from_bytes(data[i * 32 : (i + 1) * 32]) for i in range(n)]
-    return ints_to_digits(vals, shape=tuple(shape))
+    out = (
+        np.frombuffer(bytes(data[: n * 32]), dtype="<u2")
+        .astype(np.uint32)
+        .reshape(n, N_DIGITS)
+    )
+    check_canonical_digits(out, "non-canonical scalar encoding")
+    return out.reshape(tuple(shape) + (N_DIGITS,))

@@ -115,13 +115,36 @@ def perm_batch_bytes(states: bytes | bytearray, n: int) -> bytes:
     return buf.raw
 
 
-def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
-    """Permute (B, 5, N_DIGITS) uint32 canonical digit arrays natively."""
-    from .encoding import bytes_to_digits, digits_to_bytes
+def _digits_u16_buf(digits: np.ndarray) -> np.ndarray:
+    """(B, 5, N_DIGITS) canonical digit array -> contiguous little-endian
+    uint16 buffer whose bytes ARE the n*5*32-byte canonical LE layout the
+    C engine operates on (no Python-int round trip). Canonicality is
+    checked vectorized — the engine assumes reduced inputs."""
+    from .encoding import N_DIGITS, check_canonical_digits
 
-    b = digits.shape[0]
-    out = perm_batch_bytes(digits_to_bytes(digits), b)
-    return bytes_to_digits(out, (b, 5))
+    arr = np.asarray(digits, np.uint32)
+    if arr.ndim != 3 or arr.shape[1:] != (5, N_DIGITS):
+        raise ValueError(f"expected (B, 5, {N_DIGITS}) digits")
+    if arr.size and not bool((arr < 65536).all()):
+        raise ValueError("digits not normalized (>= 2^16)")
+    check_canonical_digits(
+        arr.reshape(-1, N_DIGITS),
+        "not a canonical field element: value >= p",
+    )
+    return np.ascontiguousarray(arr).astype("<u2")
+
+
+def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
+    """Permute (B, 5, N_DIGITS) uint32 canonical digit arrays natively.
+    The digit buffer is passed to the engine in place (uint16 LE digits
+    are exactly the canonical 32-byte LE scalar layout)."""
+    b = int(digits.shape[0])
+    if b == 0:
+        return np.zeros_like(np.asarray(digits, np.uint32))
+    buf = _digits_u16_buf(digits)
+    if _lib().hades_perm_batch(buf.ctypes.data_as(ctypes.c_void_p), b) != 0:
+        raise NativeUnavailable("hades_perm_batch failed")
+    return buf.astype(np.uint32)
 
 
 def perm_batch_digits_mt(digits: np.ndarray,
@@ -147,19 +170,18 @@ def perm_batch_digits_mt(digits: np.ndarray,
     n_threads = max(1, min(int(n_threads), b))
     if n_threads == 1 or b == 0:
         return perm_batch_digits(digits)
-    from .encoding import bytes_to_digits, digits_to_bytes
-
     lib = _lib()
-    raw = digits_to_bytes(digits)
-    buf = ctypes.create_string_buffer(raw, len(raw))
-    base = ctypes.addressof(buf)
+    buf = _digits_u16_buf(digits)
+    base = buf.ctypes.data
     bounds = [b * t // n_threads for t in range(n_threads + 1)]
-    errs = [0] * n_threads
+    # sentinel -1: a shard whose thread dies before the foreign call must
+    # read as failure, never as silently-unpermuted success (every shard
+    # is non-empty since n_threads <= b)
+    errs = [-1] * n_threads
 
     def run(t: int) -> None:
         lo, hi = bounds[t], bounds[t + 1]
-        if hi > lo:
-            errs[t] = lib.hades_perm_batch(base + lo * 5 * 32, hi - lo)
+        errs[t] = lib.hades_perm_batch(base + lo * 5 * 32, hi - lo)
 
     threads = [threading.Thread(target=run, args=(t,))
                for t in range(n_threads)]
@@ -169,7 +191,7 @@ def perm_batch_digits_mt(digits: np.ndarray,
         th.join()
     if any(errs):
         raise NativeUnavailable("hades_perm_batch failed")
-    return bytes_to_digits(buf.raw, (b, 5))
+    return buf.astype(np.uint32)
 
 
 def threaded_perm(n_threads: int | None = None):

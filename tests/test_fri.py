@@ -680,3 +680,45 @@ def test_proof_size_v2_regression(tiny_setup):
     c, pk, vk, proof = tiny_setup
     blob = serialize.proof_to_bytes(proof, vk)
     assert len(blob) <= serialize.expected_proof_size(vk.n, pk.params)
+
+
+def test_verify_timings_reported(tiny_setup):
+    c, pk, vk, proof = tiny_setup
+    pi = [g.pi for g in c.gates]
+    timings = {}
+    verd = fri.verify_succinct_batched(vk, [proof], [pi], timings=timings)
+    assert bool(verd[0])
+    assert set(timings) == {"prepare_s", "merkle_s", "algebra_s"}
+    assert all(v >= 0 for v in timings.values())
+    # a rejected-at-prepare batch still reports all three phase keys
+    t2 = {}
+    fri.verify_succinct_batched(vk, [], [], timings=t2)
+    assert set(t2) == {"prepare_s", "merkle_s", "algebra_s"}
+
+
+def test_non_canonical_node_digits_rejected_not_raised(tiny_setup):
+    # programmatically constructed proofs with out-of-contract node
+    # digits (>16-bit, or 16-bit but >= p) must yield a False verdict on
+    # EVERY backend, never an exception (ADVICE r4: the fused device
+    # plan used to raise where the host path returned False)
+    from dataclasses import replace
+
+    c, pk, vk, proof = tiny_setup
+    pi = [g.pi for g in c.gates]
+    wide = np.asarray(proof.open_nodes["w"], np.uint32).copy()
+    wide[0, 0] += 1 << 16
+    forged = replace(proof, open_nodes={**proof.open_nodes, "w": wide})
+    assert not fri.verify_succinct(vk, forged, pi)
+    over_p = np.asarray(proof.open_nodes["w"], np.uint32).copy()
+    over_p[0, :] = 0xFFFF  # all-ones digits: < 2^16 each but value >= p
+    forged = replace(proof, open_nodes={**proof.open_nodes, "w": over_p})
+    assert not fri.verify_succinct(vk, forged, pi)
+
+
+def test_fold_inv_table_matches_fermat(rng):
+    # the batched-inversion table must reproduce pow(x, P-2, P) exactly,
+    # including the pow(0, P-2, P) == 0 convention
+    vals = [int.from_bytes(rng.bytes(40), "little") % P for _ in range(20)]
+    vals.append(0)
+    out = fri._batch_inverse0(vals)
+    assert out == [pow(v, P - 2, P) for v in vals]

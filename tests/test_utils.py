@@ -182,3 +182,27 @@ def test_make_perm_mont_fn_backends(rng):
     assert np.array_equal(np.asarray(dflt(xm)), ref)
     with pytest.raises(ValueError):
         make_perm_mont_fn("bogus")
+
+
+def test_bytes_to_digits_rejects_non_canonical():
+    # >= p must be rejected exactly like scalar_from_bytes (the
+    # vectorized decode keeps the strict-deserialization contract)
+    with pytest.raises(ValueError, match="non-canonical"):
+        bytes_to_digits(int(params.P).to_bytes(32, "little"), (1,))
+    with pytest.raises(ValueError, match="non-canonical"):
+        bytes_to_digits(b"\xff" * 32, (1,))
+
+
+def test_digits_to_bytes_fallback_matches_fast_path(rng):
+    # non-normalized digits (>= 2^16) take the Python-int fallback; the
+    # encoded bytes must match the normalized fast path for equal values
+    vals = [int.from_bytes(rng.bytes(40), "little") % params.P
+            for _ in range(4)]
+    d = ints_to_digits(vals, shape=(4,)).astype(np.int64)
+    denorm = d.copy()
+    denorm[:, 0] += 1 << 16  # same value: digit0 + 2^16 == digit1 + 1
+    denorm[:, 1] -= 1
+    assert (denorm[:, 1] >= 0).all()
+    assert digits_to_bytes(denorm) == digits_to_bytes(d)
+    with pytest.raises(ValueError):
+        digits_to_bytes(ints_to_digits([params.P - 1], shape=(1,)) + 1)
