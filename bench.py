@@ -347,6 +347,24 @@ def _proof_bytes(proof, vk) -> int:
     return len(serialize.proof_to_bytes(proof, vk))
 
 
+def _preset_params(name: str):
+    """Shared FriParams presets of the fri/aggregate/verify modes:
+    "fast" (throughput, ~56-bit conjectured), "prod" (the defaults:
+    121-bit conjectured / 68.5 proven), "proven" (FriParams.proven():
+    ~120.5 PROVEN Johnson-bound bits — the apples-to-proven-apples
+    production point, VERDICT r4 next #2)."""
+    from hades252_tpu import fri
+
+    if name == "prod":
+        return fri.FriParams()
+    if name == "proven":
+        return fri.FriParams.proven()
+    if name == "fast":
+        return fri.FriParams(blowup=4, n_queries=16, final_degree=64,
+                             pow_bits=8)
+    raise SystemExit(f"unknown preset {name!r} (fast | prod | proven)")
+
+
 def main_fri():
     """Succinct-proof (DEEP-FRI) proving throughput: permutation-chain
     preimage instances through the device-resident prover (fri_tpu),
@@ -380,10 +398,8 @@ def main_fri():
         c.append_gate(Constraint().left(1).a(w).public(-e))
     n_gates = len(c.gates)
 
-    prod = len(sys.argv) > 4 and sys.argv[4] == "prod"
-    params = (fri.FriParams() if prod else
-              fri.FriParams(blowup=4, n_queries=16, final_degree=64,
-                            pow_bits=8))
+    preset = sys.argv[4] if len(sys.argv) > 4 else "fast"
+    params = _preset_params(preset)
     pk, vk = fri.preprocess_succinct(c, params)
     pi = [g.pi for g in c.gates]
 
@@ -423,7 +439,7 @@ def main_fri():
         json.dumps(
             {
                 "metric": f"fri_succinct_prove_{n_gates}gates"
-                          + ("_prod" if prod else ""),
+                          + ("" if preset == "fast" else f"_{preset}"),
                 "value": round(bsz / batch_secs, 3),
                 "unit": "proofs/sec/chip",
                 "n_gates": n_gates,
@@ -472,10 +488,8 @@ def main_aggregate():
         cs.append(c)
     pis = [[g.pi for g in c.gates] for c in cs]
 
-    prod = len(sys.argv) > 3 and sys.argv[3] == "prod"
-    params = (fri.FriParams() if prod else
-              fri.FriParams(blowup=4, n_queries=16, final_degree=64,
-                            pow_bits=8))
+    preset = sys.argv[3] if len(sys.argv) > 3 else "fast"
+    params = _preset_params(preset)
     pk, vk = fri.preprocess_succinct(cs[0], params)
 
     t0 = time.perf_counter()
@@ -501,7 +515,7 @@ def main_aggregate():
         json.dumps(
             {
                 "metric": f"fri_aggregate_prove_973gates_B{bsz}"
-                          + ("_prod" if prod else ""),
+                          + ("" if preset == "fast" else f"_{preset}"),
                 "value": round(bsz / dev_secs, 3),
                 "unit": "instances/sec/chip",
                 "sec_per_aggregate_device": round(dev_secs, 3),
@@ -550,10 +564,8 @@ def main_verify():
     for w, e in zip(ws, expected):
         c.append_gate(Constraint().left(1).a(w).public(-e))
 
-    prod = len(sys.argv) > 3 and sys.argv[3] == "prod"
-    params = (fri.FriParams() if prod else
-              fri.FriParams(blowup=4, n_queries=16, final_degree=64,
-                            pow_bits=8))
+    preset = sys.argv[3] if len(sys.argv) > 3 else "fast"
+    params = _preset_params(preset)
     pk, vk = fri.preprocess_succinct(c, params)
     pi = [g.pi for g in c.gates]
     proof = fri.prove_succinct(c, pk)
@@ -584,7 +596,7 @@ def main_verify():
 
     out = {
         "metric": f"fri_succinct_verify_973gates_B{bsz}"
-                  + ("_prod" if prod else ""),
+                  + ("" if preset == "fast" else f"_{preset}"),
         "value": round(bsz / host_secs, 2),
         "unit": "verifications/sec/chip",
         "sec_per_batch": round(host_secs, 3),
@@ -596,6 +608,10 @@ def main_verify():
         "single_phase_merkle_s": round(phases.get("merkle_s", 0.0), 4),
         "single_phase_algebra_s": round(phases.get("algebra_s", 0.0), 4),
         "batch_size": bsz,
+        "proof_wire_bytes": _proof_bytes(proof, vk),
+        "security_bits": round(params.security_bits(pk.key.n), 1),
+        "proven_security_bits":
+            round(params.proven_security_bits(pk.key.n), 1),
         "verdict_gate": "passed",
     }
     if jax.default_backend() == "tpu":

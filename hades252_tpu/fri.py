@@ -696,6 +696,27 @@ class FriParams:
         if not 0 <= self.pow_bits <= 32:
             raise ValueError("pow_bits must be in [0, 32]")
 
+    @classmethod
+    def proven(cls, target_bits: int = 120, blowup: int = 8,
+               pow_bits: int = 20, final_degree: int = 64,
+               zk: bool = False) -> "FriParams":
+        """Production preset sized by the PROVEN (Johnson-bound)
+        soundness figure rather than the list-decoding conjecture: the
+        smallest n_queries with proven_security_bits >= target_bits.
+        Defaults (blowup 8 / 67 queries / 20 PoW bits) give ~120.5
+        PROVEN bits (~221 conjectured) — the apples-to-proven-apples
+        counterpart of the reference's claimed 117-120-bit level
+        (reference README.md:37, itself a conjectured "[NCCG]" figure
+        matched by FriParams()'s 121 conjectured bits). Costs roughly
+        67/35 of the default preset in proof bytes and verification
+        hashing (VERDICT r4 next #2; measured rows in PERF.md)."""
+        import math
+
+        q = math.ceil((target_bits - pow_bits)
+                      / (math.log2(blowup) / 2))
+        return cls(blowup=blowup, n_queries=max(1, q),
+                   final_degree=final_degree, pow_bits=pow_bits, zk=zk)
+
     def security_bits(self, n: int = 1024) -> float:
         """CONJECTURED soundness in bits for a domain of size n (the
         circuit's padded gate count; enters only through the negligible

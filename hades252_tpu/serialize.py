@@ -112,6 +112,58 @@ def expected_proof_size(n: int, params: FriParams,
     return size
 
 
+def proof_byte_breakdown(proof: SuccinctProof, vk: VerifyingKey) -> dict:
+    """Where the bytes go: per-section byte counts of `proof_to_bytes`'
+    exact layout. The sections sum to `len(proof_to_bytes(proof, vk))`
+    (asserted in tests), so this is the instrument for choosing the next
+    wire lever (VERDICT r4 next #3). Keys:
+
+      header / roots / evals / fri_layer_roots / final_coeffs /
+      pow_nonce / counts — fixed-shape scaffolding;
+      tree_blocks[name] — the opened leaf-block values per phase tree;
+      tree_nodes[name] — that tree's pruned multiproof digests;
+      fri_layer_blocks / fri_layer_nodes — per committed FRI layer;
+      total — the full serialized size.
+    """
+    params = vk.params
+    schema = proof_schema(vk.n, params)
+    sizes = _tree_block_sizes(params)
+    u0 = len(proof.open_blocks["w"])
+    out = {
+        "header": len(MAGIC_PROOF) + _PROOF_HEADER.size,
+        "roots": 32 * len(ROOT_NAMES),
+        "evals": 32 * len(eval_order(params.zk)),
+        "fri_layer_roots": 32 * len(schema["sched"]),
+        "final_coeffs": 32 * len(proof.fri.final_coeffs),
+        "pow_nonce": _U64.size,
+        "counts": (_U16.size + len(TREE_ORDER) * _U32.size
+                   + len(schema["sched"]) * (_U16.size + _U32.size)),
+        "tree_blocks": {}, "tree_nodes": {},
+        "fri_layer_blocks": [], "fri_layer_nodes": [],
+    }
+    for name in TREE_ORDER:
+        out["tree_blocks"][name] = 32 * u0 * sizes[name]
+        out["tree_nodes"][name] = 32 * int(
+            np.asarray(proof.open_nodes[name]).reshape(-1, N_DIGITS).shape[0]
+        )
+    for li, (k, bs) in enumerate(schema["sched"]):
+        out["fri_layer_blocks"].append(
+            32 * bs * len(proof.fri.layer_blocks[li])
+        )
+        out["fri_layer_nodes"].append(32 * int(
+            np.asarray(proof.fri.layer_nodes[li])
+            .reshape(-1, N_DIGITS).shape[0]
+        ))
+    out["total"] = (
+        sum(v for v in out.values() if isinstance(v, int))
+        + sum(out["tree_blocks"].values())
+        + sum(out["tree_nodes"].values())
+        + sum(out["fri_layer_blocks"])
+        + sum(out["fri_layer_nodes"])
+    )
+    return out
+
+
 def _blocks_bytes(blocks, bs: int, q: int, u: int) -> bytes:
     if len(blocks) != u or any(len(b) != bs for b in blocks):
         raise ValueError(

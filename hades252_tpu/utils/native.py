@@ -92,11 +92,41 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_void_p,
         ctypes.c_void_p,
     ]
+    lib.hades_init_opt.restype = ctypes.c_int
+    lib.hades_init_opt.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.hades_perm_batch_opt.restype = ctypes.c_int
+    lib.hades_perm_batch_opt.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    lib.hades_bench_opt.restype = ctypes.c_double
+    lib.hades_bench_opt.argtypes = [ctypes.c_long]
     ark = open(os.path.join(_ASSET_DIR, "ark.bin"), "rb").read()
     mds = open(os.path.join(_ASSET_DIR, "mds.bin"), "rb").read()
     if lib.hades_init(ark, len(ark), mds, len(mds)) != 0:
         raise NativeUnavailable("hades_init failed")
+    if lib.hades_init_opt(_opt_payload(), len(_opt_payload())) != 0:
+        raise NativeUnavailable("hades_init_opt failed")
     return lib
+
+
+@cache
+def _opt_payload() -> bytes:
+    """Sparse partial-round schedule for the optimized native engine
+    (hades_cpu.cpp hades_init_opt layout), serialized from the exact
+    int transform in params.optimized_partial_int (itself oracle-tested
+    in tests/test_params.py)."""
+    from ..params import optimized_partial_int
+
+    opt = optimized_partial_int()
+    flat = list(opt["c0"])
+    for row in opt["u"]:
+        flat += list(row)
+    for row in opt["w"]:
+        flat += list(row)
+    flat.append(opt["m"])
+    for row in opt["d"]:
+        flat += list(row)
+    for row in opt["final"]:
+        flat += list(row)
+    return b"".join(int(v).to_bytes(32, "little") for v in flat)
 
 
 def available() -> bool:
@@ -135,9 +165,28 @@ def _digits_u16_buf(digits: np.ndarray) -> np.ndarray:
 
 
 def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
-    """Permute (B, 5, N_DIGITS) uint32 canonical digit arrays natively.
-    The digit buffer is passed to the engine in place (uint16 LE digits
-    are exactly the canonical 32-byte LE scalar layout)."""
+    """Permute (B, 5, N_DIGITS) uint32 canonical digit arrays natively
+    through the sparse-factored schedule (hades_perm_batch_opt — ~1.9x
+    fewer field muls than the naive dense schedule, bit-identical
+    outputs; tests/test_native.py pins the identity). The digit buffer
+    is passed to the engine in place (uint16 LE digits are exactly the
+    canonical 32-byte LE scalar layout)."""
+    b = int(digits.shape[0])
+    if b == 0:
+        return np.zeros_like(np.asarray(digits, np.uint32))
+    buf = _digits_u16_buf(digits)
+    if _lib().hades_perm_batch_opt(
+            buf.ctypes.data_as(ctypes.c_void_p), b) != 0:
+        raise NativeUnavailable("hades_perm_batch_opt failed")
+    return buf.astype(np.uint32)
+
+
+def perm_batch_digits_naive(digits: np.ndarray) -> np.ndarray:
+    """The naive dense-schedule engine (hades_perm_batch) — the measured
+    stand-in for the reference crate's performance class and the pinned
+    vs_baseline denominator (bench.py). Kept callable for bit-identity
+    tests and baseline measurement; serving paths use the optimized
+    engine above."""
     b = int(digits.shape[0])
     if b == 0:
         return np.zeros_like(np.asarray(digits, np.uint32))
@@ -181,7 +230,7 @@ def perm_batch_digits_mt(digits: np.ndarray,
 
     def run(t: int) -> None:
         lo, hi = bounds[t], bounds[t + 1]
-        errs[t] = lib.hades_perm_batch(base + lo * 5 * 32, hi - lo)
+        errs[t] = lib.hades_perm_batch_opt(base + lo * 5 * 32, hi - lo)
 
     threads = [threading.Thread(target=run, args=(t,))
                for t in range(n_threads)]
@@ -248,5 +297,13 @@ def cipher_digits(key: np.ndarray, nonce: np.ndarray, data: np.ndarray,
 
 
 def bench_perms_per_sec(n: int = 20000) -> float:
-    """Single-thread native permutations/second (the CPU reference class)."""
+    """Single-thread native permutations/second (the CPU reference class:
+    the naive dense schedule, bench.py's pinned vs_baseline denominator)."""
     return float(_lib().hades_bench(n))
+
+
+def bench_perms_per_sec_opt(n: int = 20000) -> float:
+    """Single-thread rate of the sparse-factored schedule — the engine
+    the framework's own host hashing/verification actually runs on
+    (reported alongside, never the baseline denominator)."""
+    return float(_lib().hades_bench_opt(n))

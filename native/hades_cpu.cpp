@@ -174,6 +174,77 @@ inline void perm_mont(Fr s[WIDTH]) {
   }
 }
 
+// --- optimized partial-round schedule (sparse factorization) ---------------
+// The 59 partial rounds only S-box word 4, so the dense MDS chain factors
+// into per-round 9-entry sparse matrices plus one dense 4x4 fixup (A^59)
+// after the chain — the exact transform of
+// hades252_tpu/params.optimized_partial_int (oracle-tested there and used
+// by the Pallas "opt" schedule). 1044 Montgomery muls per permutation vs
+// the naive schedule's 1972. The naive engine above stays as the measured
+// stand-in for the reference's performance class (dusk-hades' Rust path is
+// the dense schedule); this one serves the framework's own host
+// verification/tree hashing.
+Fr g_opt_c0[WIDTH];            // ARK of the first partial round
+Fr g_opt_u[PARTIAL][4];        // per-round sparse column
+Fr g_opt_w[PARTIAL][4];        // per-round sparse row
+Fr g_opt_m;                    // M[4][4]
+Fr g_opt_d[PARTIAL - 1][WIDTH];  // folded constants, added after round r
+Fr g_opt_fin[4][4];            // A^59 fixup
+bool g_opt_ready = false;
+
+inline void perm_opt_mont(Fr s[WIDTH]) {
+  int ci = 0;
+  Fr res[WIDTH];
+  auto full_round = [&](void) {
+    for (int w = 0; w < WIDTH; ++w) add(s[w], s[w], g_ark[ci++]);
+    for (int w = 0; w < WIDTH; ++w) sbox5(s[w]);
+    for (int k = 0; k < WIDTH; ++k) {
+      Fr acc = {{0, 0, 0, 0}};
+      for (int j = 0; j < WIDTH; ++j) {
+        Fr prod;
+        mont_mul(prod, g_mds[k][j], s[j]);
+        add(acc, acc, prod);
+      }
+      res[k] = acc;
+    }
+    for (int w = 0; w < WIDTH; ++w) s[w] = res[w];
+  };
+  for (int r = 0; r < FULL_HALF; ++r) full_round();
+  // enter the transformed chain: x = s + c0
+  for (int w = 0; w < WIDTH; ++w) add(s[w], s[w], g_opt_c0[w]);
+  for (int r = 0; r < PARTIAL; ++r) {
+    Fr x4 = s[WIDTH - 1];
+    sbox5(x4);
+    Fr n4, prod;
+    mont_mul(n4, g_opt_m, x4);
+    for (int j = 0; j < 4; ++j) {
+      mont_mul(prod, g_opt_w[r][j], s[j]);
+      add(n4, n4, prod);
+    }
+    for (int i = 0; i < 4; ++i) {
+      mont_mul(prod, g_opt_u[r][i], x4);
+      add(s[i], s[i], prod);
+    }
+    s[WIDTH - 1] = n4;
+    if (r < PARTIAL - 1)
+      for (int w = 0; w < WIDTH; ++w) add(s[w], s[w], g_opt_d[r][w]);
+  }
+  // leave the chain: words 0..3 <- A^59 @ s[0:4]
+  Fr fix[4];
+  for (int i = 0; i < 4; ++i) {
+    Fr acc = {{0, 0, 0, 0}};
+    for (int j = 0; j < 4; ++j) {
+      Fr prod;
+      mont_mul(prod, g_opt_fin[i][j], s[j]);
+      add(acc, acc, prod);
+    }
+    fix[i] = acc;
+  }
+  for (int i = 0; i < 4; ++i) s[i] = fix[i];
+  ci = (FULL_HALF + PARTIAL) * WIDTH;  // ARK of global rounds 63..66
+  for (int r = 0; r < FULL_HALF; ++r) full_round();
+}
+
 }  // namespace
 
 // Load constants from the raw asset bytes (canonical LE scalars).
@@ -192,6 +263,69 @@ int hades_init(const uint8_t* ark, long ark_len, const uint8_t* mds,
     }
   g_ready = true;
   return 0;
+}
+
+// Load the sparse partial-round schedule (canonical LE scalars, computed
+// host-side by hades252_tpu/params.optimized_partial_int). Payload layout:
+// c0 (5) | u (59*4) | w (59*4) | m (1) | d (58*5) | final (4*4), each a
+// 32-byte canonical LE scalar. Requires hades_init first. Returns 0 on
+// success.
+int hades_init_opt(const uint8_t* payload, long len) {
+  constexpr long N_SCALARS =
+      WIDTH + PARTIAL * 4 * 2 + 1 + (PARTIAL - 1) * WIDTH + 16;
+  if (!g_ready || len != N_SCALARS * 32) return -1;
+  const uint8_t* p = payload;
+  auto next = [&](Fr& out) {
+    decode(out, p);
+    to_mont(out);
+    p += 32;
+  };
+  for (int w = 0; w < WIDTH; ++w) next(g_opt_c0[w]);
+  for (int r = 0; r < PARTIAL; ++r)
+    for (int i = 0; i < 4; ++i) next(g_opt_u[r][i]);
+  for (int r = 0; r < PARTIAL; ++r)
+    for (int j = 0; j < 4; ++j) next(g_opt_w[r][j]);
+  next(g_opt_m);
+  for (int r = 0; r < PARTIAL - 1; ++r)
+    for (int w = 0; w < WIDTH; ++w) next(g_opt_d[r][w]);
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j) next(g_opt_fin[i][j]);
+  g_opt_ready = true;
+  return 0;
+}
+
+// Permute n states in place through the sparse-factored schedule
+// (bit-identical outputs to hades_perm_batch; ~1.9x fewer field muls).
+int hades_perm_batch_opt(uint8_t* states, long n) {
+  if (!g_opt_ready) return -1;
+  for (long b = 0; b < n; ++b) {
+    Fr s[WIDTH];
+    for (int w = 0; w < WIDTH; ++w) {
+      decode(s[w], states + 32 * (b * WIDTH + w));
+      to_mont(s[w]);
+    }
+    perm_opt_mont(s);
+    for (int w = 0; w < WIDTH; ++w) {
+      from_mont(s[w]);
+      std::memcpy(states + 32 * (b * WIDTH + w), s[w].l, 32);
+    }
+  }
+  return 0;
+}
+
+// Single-thread throughput of the sparse-factored schedule.
+double hades_bench_opt(long n) {
+  if (!g_opt_ready) return -1.0;
+  Fr s[WIDTH] = {};
+  for (int w = 0; w < WIDTH; ++w) s[w].l[0] = (u64)w + 1;
+  for (int w = 0; w < WIDTH; ++w) to_mont(s[w]);
+  auto t0 = std::chrono::steady_clock::now();
+  for (long i = 0; i < n; ++i) perm_opt_mont(s);
+  auto t1 = std::chrono::steady_clock::now();
+  double secs = std::chrono::duration<double>(t1 - t0).count();
+  volatile u64 sink = s[0].l[0];
+  (void)sink;
+  return (double)n / secs;
 }
 
 // Permute n states in place. states = n * WIDTH * 32 bytes, each scalar a

@@ -123,3 +123,16 @@ def test_native_mt_perm_through_verify_seam(rng):
         native.threaded_perm(2),
     )
     assert ok.tolist() == [True]
+
+
+def test_native_opt_engine_bit_identical(rng):
+    """The sparse-factored engine (the serving default) must be
+    bit-identical to the naive dense-schedule engine (the reference-
+    class baseline) on random batches, and measurably the same function
+    the bench reports on (bench_perms_per_sec_opt runs)."""
+    vals = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+            for _ in range(128)]
+    x = ints_to_digits(vals, shape=(128, 5))
+    assert np.array_equal(native.perm_batch_digits(x),
+                          native.perm_batch_digits_naive(x))
+    assert native.bench_perms_per_sec_opt(2000) > 0

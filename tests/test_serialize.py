@@ -326,3 +326,13 @@ def test_aggregate_tampered_byte_verifies_false(agg_setup):
     data[off] ^= 1
     back = serialize.aggregate_from_bytes(bytes(data), vk)
     assert not aggregate.verify_aggregate(vk, back, pis)
+
+
+def test_proof_byte_breakdown_sums_to_total(setup, zk_setup):
+    # the per-section report must account for every wire byte exactly
+    for c, pk, vk, proof in (setup, zk_setup):
+        bd = serialize.proof_byte_breakdown(proof, vk)
+        assert bd["total"] == len(serialize.proof_to_bytes(proof, vk))
+        assert set(bd["tree_blocks"]) == set(serialize.TREE_ORDER)
+        assert len(bd["fri_layer_blocks"]) == len(bd["fri_layer_nodes"])
+        assert all(v > 0 for v in bd["tree_nodes"].values())
