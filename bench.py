@@ -103,13 +103,23 @@ def main():
     perms_per_sec = B * CHAIN / (total - base)
 
     # live native measurement, reported alongside the pinned denominator
-    # (best of 3 to damp single-core host-load noise)
+    # (best of 3 to damp single-core host-load noise). native_live_opt is
+    # the framework's own sparse-factored host engine (utils/native.py) —
+    # reported for transparency, never the denominator: the pinned
+    # baseline stands in for the REFERENCE's performance class (the Rust
+    # crate runs the naive dense schedule, scalar.rs:36-49).
+    native_live = native_live_opt = None
     try:
-        from hades252_tpu.utils.native import bench_perms_per_sec
+        from hades252_tpu.utils.native import (
+            bench_perms_per_sec,
+            bench_perms_per_sec_opt,
+        )
 
         native_live = round(max(bench_perms_per_sec(20000) for _ in range(3)))
+        native_live_opt = round(max(bench_perms_per_sec_opt(20000)
+                                    for _ in range(3)))
     except Exception:
-        native_live = None
+        pass
 
     print(
         json.dumps(
@@ -119,6 +129,7 @@ def main():
                 "unit": "perms/sec/chip",
                 "vs_baseline": round(perms_per_sec / PINNED_NATIVE_BASELINE, 2),
                 "native_live": native_live,
+                "native_live_opt": native_live_opt,
                 "kat_gate": "passed",
             }
         )
@@ -359,10 +370,19 @@ def _preset_params(name: str):
         return fri.FriParams()
     if name == "proven":
         return fri.FriParams.proven()
+    if name == "proven16":
+        return fri.FriParams.proven(blowup=16)
+    if name == "b16":
+        # the blowup-16 point of the conjectured-121-bit frontier
+        # (tools/frontier_r5.py): 27 queries * 4 bits + 16 PoW = 124
+        return fri.FriParams(blowup=16, n_queries=27, final_degree=64,
+                             pow_bits=16)
     if name == "fast":
         return fri.FriParams(blowup=4, n_queries=16, final_degree=64,
                              pow_bits=8)
-    raise SystemExit(f"unknown preset {name!r} (fast | prod | proven)")
+    raise SystemExit(
+        f"unknown preset {name!r} (fast | prod | proven | proven16 | b16)"
+    )
 
 
 def main_fri():
@@ -465,8 +485,10 @@ def main_aggregate():
     permutation-preimage instances in ONE shared DEEP-FRI argument via
     the device-resident aggregate prover. Gate: the device aggregate
     must serialize byte-identically to the host prover's and verify.
-    argv[2] overrides B (default 8); argv[3] = "prod" switches to the
-    production FriParams() defaults."""
+    argv[2] overrides B (default 8); argv[3] a preset name (fast | prod
+    | proven | ...); argv[4] the number of CHAINED permutation gadgets
+    per instance (default 1 = 973 gates — the circuit-size axis for
+    aggregate rows at n >= 2^12)."""
     from hades252_tpu import aggregate, fri, fri_tpu, serialize
     from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
     from hades252_tpu.params import P, WIDTH
@@ -474,19 +496,25 @@ def main_aggregate():
 
     rng = np.random.default_rng(0)
     bsz = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_perms = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     strat = ScalarStrategy()
     cs = []
     for _ in range(bsz):
         x = [int.from_bytes(rng.bytes(40), "little") % P
              for _ in range(WIDTH)]
-        expected = strat.perm(list(x))
+        expected = list(x)
+        for _ in range(n_perms):
+            expected = strat.perm(list(expected))
         c = Composer()
         ws = [c.append_witness(w) for w in x]
-        GadgetStrategy.gadget(c, ws)
-        for w, e in zip(ws, expected):
+        state = list(ws)
+        for _ in range(n_perms):
+            GadgetStrategy.gadget(c, state)
+        for w, e in zip(state, expected):
             c.append_gate(Constraint().left(1).a(w).public(-e))
         cs.append(c)
     pis = [[g.pi for g in c.gates] for c in cs]
+    n_gates = len(cs[0].gates)
 
     preset = sys.argv[3] if len(sys.argv) > 3 else "fast"
     params = _preset_params(preset)
@@ -514,7 +542,7 @@ def main_aggregate():
     print(
         json.dumps(
             {
-                "metric": f"fri_aggregate_prove_973gates_B{bsz}"
+                "metric": f"fri_aggregate_prove_{n_gates}gates_B{bsz}"
                           + ("" if preset == "fast" else f"_{preset}"),
                 "value": round(bsz / dev_secs, 3),
                 "unit": "instances/sec/chip",
