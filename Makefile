@@ -6,14 +6,17 @@ PYTHON ?= python
 
 .PHONY: test test-kernel test-fast test-multihost bench bench-merkle bench-sponge native clean doc
 
-test:			## full suite on the 8-device virtual CPU mesh
+test:			## full suite on the 8-device virtual CPU mesh (~24 min, 1-core host)
 	$(PYTHON) -m pytest tests/ -q
 
 test-kernel:		## kernel/backend equivalence tests only
 	$(PYTHON) -m pytest tests/test_perm_pallas.py tests/test_perm_ref.py -q
 
-test-fast:		## everything except the slower sharding tests
-	$(PYTHON) -m pytest tests/ -q --ignore=tests/test_dist.py
+test-fast:		## fast tier: skips the compile-heavy slow-marked modules (~10 min)
+	$(PYTHON) -m pytest tests/ -q -m "not slow"
+
+test-slow:		## slow tier only (dist/fri_tpu/examples/multihost)
+	$(PYTHON) -m pytest tests/ -q -m slow
 
 test-multihost:		## the real two-process multi-host test (heavy on 1-core hosts)
 	RUN_MULTIHOST=1 $(PYTHON) -m pytest tests/test_multihost.py -q

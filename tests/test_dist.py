@@ -12,6 +12,9 @@ from hades252_tpu.parallel import dist
 from hades252_tpu.params import P
 from hades252_tpu.utils.encoding import ints_to_digits
 
+#: slow tier (VERDICT r4 next #7): compile-heavy on the 1-core dev
+#: host; skip with `-m "not slow"` for fast iteration (CI runs all).
+pytestmark = pytest.mark.slow
 
 @pytest.fixture(scope="module")
 def mesh8():

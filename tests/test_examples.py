@@ -13,6 +13,9 @@ import pytest
 
 from conftest import _cpu_cache_dir
 
+#: slow tier (VERDICT r4 next #7): compile-heavy on the 1-core dev
+#: host; skip with `-m "not slow"` for fast iteration (CI runs all).
+pytestmark = pytest.mark.slow
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

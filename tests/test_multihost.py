@@ -17,10 +17,10 @@ import pytest
 # distributed-runtime shutdown barrier when run INSIDE the full suite.
 # The test passes reliably standalone (`make test-multihost`); gate it so
 # the default suite stays green on constrained hosts.
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     os.environ.get("RUN_MULTIHOST") != "1" and os.cpu_count() in (1, 2),
     reason="needs >2 CPU cores or RUN_MULTIHOST=1 (runs 3 JAX processes)",
-)
+)]
 
 _WORKER = r"""
 import sys
