@@ -617,10 +617,17 @@ def main_verify():
     t0 = time.perf_counter()
     fri.verify_succinct_batched(vk, proofs, pis)
     host_secs = time.perf_counter() - t0
-    phases = {}
-    t0 = time.perf_counter()
-    fri.verify_succinct_batched(vk, [proof], [pi], timings=phases)
-    single_secs = time.perf_counter() - t0
+    # single verify: best of 3 (same discipline as the native baseline —
+    # this process shares one core with the relay's background threads,
+    # and a single sample can read ~2x the idle-host figure)
+    single_secs, phases = None, None
+    for _ in range(3):
+        t = {}
+        t0 = time.perf_counter()
+        fri.verify_succinct_batched(vk, [proof], [pi], timings=t)
+        dt = time.perf_counter() - t0
+        if single_secs is None or dt < single_secs:
+            single_secs, phases = dt, t
 
     out = {
         "metric": f"fri_succinct_verify_973gates_B{bsz}"
