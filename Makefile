@@ -4,7 +4,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-kernel test-fast test-multihost bench bench-merkle bench-sponge native clean doc
+.PHONY: test test-kernel test-fast test-slow test-multihost bench bench-merkle bench-sponge native clean doc
 
 test:			## full suite on the 8-device virtual CPU mesh (~24 min, 1-core host)
 	$(PYTHON) -m pytest tests/ -q

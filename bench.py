@@ -392,8 +392,8 @@ def main_fri():
     soundness — the throughput preset). argv[2] overrides the batch size
     B (default 8); argv[3] the number of CHAINED permutation gadgets per
     circuit (default 1 = 973 gates; k chains to ~973k gates — the
-    circuit-size scaling axis); argv[4] = "prod" switches to the
-    production FriParams() defaults (121-bit conjectured / ~68 proven).
+    circuit-size scaling axis); argv[4] a preset name — fast (default) |
+    prod | proven | proven16 | b16 (_preset_params).
     Gate: the device proof must be BIT-IDENTICAL to the host prover's
     and verify. Prints host and device sec/proof and the serialized
     proof size."""
@@ -571,8 +571,9 @@ def main_verify():
     the WHOLE batch — HSP2 cut the per-proof permutation count ~4x vs
     the per-leaf layout). Reports the pooled host-native path (the
     serving default on relay-attached hosts) and, on TPU, the pooled
-    fused-kernel path at one fixed executable shape. argv[3] = "prod"
-    switches to FriParams() defaults. Gate: all verdicts True, a
+    fused-kernel path at one fixed executable shape. argv[3] a preset
+    name — fast (default) | prod | proven | proven16 | b16
+    (_preset_params). Gate: all verdicts True, a
     tampered proof rejected, and (on TPU) device verdicts identical —
     refuses to print otherwise."""
     import jax

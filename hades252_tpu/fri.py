@@ -709,9 +709,20 @@ class FriParams:
         (reference README.md:37, itself a conjectured "[NCCG]" figure
         matched by FriParams()'s 121 conjectured bits). Costs roughly
         67/35 of the default preset in proof bytes and verification
-        hashing (VERDICT r4 next #2; measured rows in PERF.md)."""
+        hashing (VERDICT r4 next #2; measured rows in PERF.md).
+
+        Targets near/above the field term's ~240-bit Schwartz-Zippel
+        cap (see proven_security_bits) are unreachable by adding
+        queries and are rejected rather than silently under-delivered."""
         import math
 
+        if not 1 <= target_bits <= 200:
+            raise ValueError(
+                "target_bits must be in [1, 200]: above that the "
+                "field/Schwartz-Zippel term (~240 bits at n=1024, "
+                "shrinking with n) caps proven_security_bits no matter "
+                "how many queries are added"
+            )
         q = math.ceil((target_bits - pow_bits)
                       / (math.log2(blowup) / 2))
         return cls(blowup=blowup, n_queries=max(1, q),

@@ -42,11 +42,15 @@ def _cpu_key() -> str:
 def _lib() -> ctypes.CDLL:
     if os.environ.get("HADES_NO_NATIVE"):
         raise NativeUnavailable("disabled via HADES_NO_NATIVE")
-    name = f"libhades_cpu_{_cpu_key()}.so"
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, name))
     src = os.path.abspath(os.path.join(_NATIVE_DIR, "hades_cpu.cpp"))
-    stale = os.path.exists(so) and os.path.getmtime(so) < os.path.getmtime(src)
-    if not os.path.exists(so) or stale:
+    # artifact keyed by CPU features AND source hash: a library built
+    # from different source gets a different filename, so a stale .so
+    # (e.g. copied into a worktree snapshot with a fresh mtime) can
+    # never be dlopened missing symbols — it simply doesn't match
+    src_key = hashlib.sha1(open(src, "rb").read()).hexdigest()[:10]
+    name = f"libhades_cpu_{_cpu_key()}_{src_key}.so"
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, name))
+    if not os.path.exists(so):
         try:
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR), f"SO={name}",
@@ -164,6 +168,17 @@ def _digits_u16_buf(digits: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr).astype("<u2")
 
 
+def _perm_batch(symbol: str, digits: np.ndarray) -> np.ndarray:
+    b = int(digits.shape[0])
+    if b == 0:
+        return np.zeros_like(np.asarray(digits, np.uint32))
+    buf = _digits_u16_buf(digits)
+    if getattr(_lib(), symbol)(
+            buf.ctypes.data_as(ctypes.c_void_p), b) != 0:
+        raise NativeUnavailable(f"{symbol} failed")
+    return buf.astype(np.uint32)
+
+
 def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
     """Permute (B, 5, N_DIGITS) uint32 canonical digit arrays natively
     through the sparse-factored schedule (hades_perm_batch_opt — ~1.9x
@@ -171,14 +186,7 @@ def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
     outputs; tests/test_native.py pins the identity). The digit buffer
     is passed to the engine in place (uint16 LE digits are exactly the
     canonical 32-byte LE scalar layout)."""
-    b = int(digits.shape[0])
-    if b == 0:
-        return np.zeros_like(np.asarray(digits, np.uint32))
-    buf = _digits_u16_buf(digits)
-    if _lib().hades_perm_batch_opt(
-            buf.ctypes.data_as(ctypes.c_void_p), b) != 0:
-        raise NativeUnavailable("hades_perm_batch_opt failed")
-    return buf.astype(np.uint32)
+    return _perm_batch("hades_perm_batch_opt", digits)
 
 
 def perm_batch_digits_naive(digits: np.ndarray) -> np.ndarray:
@@ -187,13 +195,12 @@ def perm_batch_digits_naive(digits: np.ndarray) -> np.ndarray:
     vs_baseline denominator (bench.py). Kept callable for bit-identity
     tests and baseline measurement; serving paths use the optimized
     engine above."""
-    b = int(digits.shape[0])
-    if b == 0:
-        return np.zeros_like(np.asarray(digits, np.uint32))
-    buf = _digits_u16_buf(digits)
-    if _lib().hades_perm_batch(buf.ctypes.data_as(ctypes.c_void_p), b) != 0:
-        raise NativeUnavailable("hades_perm_batch failed")
-    return buf.astype(np.uint32)
+    return _perm_batch("hades_perm_batch", digits)
+
+
+#: Below this batch size the multi-thread path falls through to one
+#: thread (spawn overhead exceeds the permutation work).
+_MT_MIN_BATCH = 256
 
 
 def perm_batch_digits_mt(digits: np.ndarray,
@@ -207,17 +214,22 @@ def perm_batch_digits_mt(digits: np.ndarray,
     perm_batch_digits — same C++ per state, disjoint slices
     (tests/test_native.py pins the identity).
 
-    The single-thread engine stays the default everywhere (it mirrors
-    the reference crate's performance class and keeps the pinned
-    vs_baseline denominator stable); serving hosts with C cores can
-    inject this via fri's perm_fn seams to cut pooled verification
-    hashing ~C-fold. On this 1-core dev VM it is correctness-tested but
-    measures neutral (PERF.md "Future work", multi-core lever)."""
+    Shards run the sparse-factored engine (hades_perm_batch_opt), same
+    as perm_batch_digits. This IS the default perm_fn on multi-core
+    hosts (fri.default_pcs_perm, VERDICT r4 #8); the pinned vs_baseline
+    denominator remains the single-thread NAIVE engine regardless. On
+    this 1-core dev VM it is correctness-tested but measures neutral by
+    construction. In auto mode (n_threads=None) batches below
+    _MT_MIN_BATCH states stay single-thread: per-call thread spawns
+    (~50-100 us each) would exceed the ~45 us/state permutation work on
+    the small top levels of tree builds; an explicit n_threads is
+    honored as requested."""
     b = int(digits.shape[0])
-    if n_threads is None:
+    auto = n_threads is None
+    if auto:
         n_threads = os.cpu_count() or 1
     n_threads = max(1, min(int(n_threads), b))
-    if n_threads == 1 or b == 0:
+    if n_threads == 1 or (auto and b < _MT_MIN_BATCH):
         return perm_batch_digits(digits)
     lib = _lib()
     buf = _digits_u16_buf(digits)
@@ -239,7 +251,7 @@ def perm_batch_digits_mt(digits: np.ndarray,
     for th in threads:
         th.join()
     if any(errs):
-        raise NativeUnavailable("hades_perm_batch failed")
+        raise NativeUnavailable("hades_perm_batch_opt failed in a shard")
     return buf.astype(np.uint32)
 
 

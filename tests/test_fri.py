@@ -757,3 +757,8 @@ def test_fold_inv_table_matches_fermat(rng):
     vals.append(0)
     out = fri._batch_inverse0(vals)
     assert out == [pow(v, P - 2, P) for v in vals]
+
+
+def test_proven_preset_rejects_uncapped_target():
+    with pytest.raises(ValueError, match="field"):
+        fri.FriParams.proven(target_bits=250)

@@ -21,8 +21,10 @@ import numpy as np
 
 import jax
 
-if jax.default_backend() != "tpu":
-    jax.config.update("jax_platforms", "cpu")
+# host-only tool: force the CPU backend BEFORE any backend touch (the
+# axon relay plugin otherwise initializes — and during a relay outage,
+# hangs — even though nothing here needs a device; CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
 
 from hades252_tpu import fri, serialize
 from hades252_tpu.gadget import Composer, Constraint, GadgetStrategy
