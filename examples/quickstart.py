@@ -84,7 +84,9 @@ print("plonk proof verifies:", plonk.verify(key_ck, proof,
 # --- succinct + zero-knowledge proofs (Hades-Merkle + DEEP-FRI PCS) ----------
 # the same argument with commitments that bind polynomials: sublinear
 # proofs, no trusted setup, optional Z_H-blinding (zk). Tiny circuit +
-# light parameters here; production uses fri.FriParams() defaults.
+# light parameters here; production uses fri.FriParams() (121-bit
+# conjectured) or fri.FriParams.proven() (~120.5-bit PROVEN Johnson
+# bound, 67 queries) — both measured in PERF.md.
 from hades252_tpu import fri
 tiny = h.Composer()
 a = tiny.append_witness(3)
