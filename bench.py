@@ -108,16 +108,20 @@ def main():
     # reported for transparency, never the denominator: the pinned
     # baseline stands in for the REFERENCE's performance class (the Rust
     # crate runs the naive dense schedule, scalar.rs:36-49).
-    native_live = native_live_opt = None
+    native_live = native_live_opt = native_live_opt8 = None
     try:
         from hades252_tpu.utils.native import (
             bench_perms_per_sec,
             bench_perms_per_sec_opt,
+            bench_perms_per_sec_opt8,
         )
 
         native_live = round(max(bench_perms_per_sec(20000) for _ in range(3)))
         native_live_opt = round(max(bench_perms_per_sec_opt(20000)
                                     for _ in range(3)))
+        opt8 = max(bench_perms_per_sec_opt8(20000) for _ in range(3))
+        if opt8 > 0:  # AVX-512 IFMA batch engine present on this host
+            native_live_opt8 = round(opt8)
     except Exception:
         pass
 
@@ -130,6 +134,7 @@ def main():
                 "vs_baseline": round(perms_per_sec / PINNED_NATIVE_BASELINE, 2),
                 "native_live": native_live,
                 "native_live_opt": native_live_opt,
+                "native_live_opt8": native_live_opt8,
                 "kat_gate": "passed",
             }
         )

@@ -102,6 +102,10 @@ def _lib() -> ctypes.CDLL:
     lib.hades_perm_batch_opt.argtypes = [ctypes.c_void_p, ctypes.c_long]
     lib.hades_bench_opt.restype = ctypes.c_double
     lib.hades_bench_opt.argtypes = [ctypes.c_long]
+    lib.hades_has_ifma.restype = ctypes.c_int
+    lib.hades_has_ifma.argtypes = []
+    lib.hades_bench_opt8.restype = ctypes.c_double
+    lib.hades_bench_opt8.argtypes = [ctypes.c_long]
     ark = open(os.path.join(_ASSET_DIR, "ark.bin"), "rb").read()
     mds = open(os.path.join(_ASSET_DIR, "mds.bin"), "rb").read()
     if lib.hades_init(ark, len(ark), mds, len(mds)) != 0:
@@ -315,7 +319,20 @@ def bench_perms_per_sec(n: int = 20000) -> float:
 
 
 def bench_perms_per_sec_opt(n: int = 20000) -> float:
-    """Single-thread rate of the sparse-factored schedule — the engine
-    the framework's own host hashing/verification actually runs on
+    """Single-thread rate of the SCALAR sparse-factored schedule
     (reported alongside, never the baseline denominator)."""
     return float(_lib().hades_bench_opt(n))
+
+
+def has_ifma() -> bool:
+    """True when the AVX-512 IFMA batch-8 engine is compiled into this
+    host's artifact (hades_perm_batch_opt then runs 8-state groups
+    through it; bit-identical canonical outputs)."""
+    return bool(_lib().hades_has_ifma())
+
+
+def bench_perms_per_sec_opt8(n: int = 20000) -> float:
+    """Single-thread rate of the AVX-512 IFMA batch-8 engine — on IFMA
+    hosts this is the engine the framework's pooled host hashing and
+    verification actually run on. -1.0 when not compiled in."""
+    return float(_lib().hades_bench_opt8(n))

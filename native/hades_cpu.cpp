@@ -23,6 +23,16 @@
 #include <cstring>
 #include <chrono>
 
+#if defined(__AVX512IFMA__) && defined(__AVX512F__)
+// GCC's avx512 intrinsic headers self-trigger -Wuninitialized via
+// _mm512_undefined_epi32() when inlined under -Wall -Wextra; the
+// diagnostic is about the header's own deliberate undef idiom, so it
+// is disabled file-wide on IFMA builds only.
+#pragma GCC diagnostic ignored "-Wuninitialized"
+#include <immintrin.h>
+#define HADES_IFMA 1
+#endif
+
 extern "C" {
 
 namespace {
@@ -245,6 +255,291 @@ inline void perm_opt_mont(Fr s[WIDTH]) {
   for (int r = 0; r < FULL_HALF; ++r) full_round();
 }
 
+// --- AVX-512 IFMA batch-8 engine (radix-2^52 Montgomery, R' = 2^260) -------
+// Vectorizes the sparse-factored schedule ACROSS 8 independent states: each
+// Fr8 limb holds the same radix-52 digit of 8 field elements in one 512-bit
+// register, so vpmadd52{lo,hi}uq performs 8 52x52-bit MACs per instruction.
+// Value-domain discipline: every Fr8 is kept < 2p with normalized 52-bit
+// limbs. The CIOS bound gives mont outputs < p*(4p/R' + 1) < 1.24p (inputs
+// < 2p and 4p < R' = 2^260), so products need no reduction; lazy limb adds
+// are brought back under 2p by one conditional 2p-subtract. Accumulator
+// headroom: each 64-bit lane gains at most 4*(2^52-1) per CIOS iteration,
+// < 2^57 total over 5 iterations. Bit-identity with the scalar engines
+// holds at the canonical boundary (from-mont + one conditional p-subtract;
+// pinned by tests/test_native.py), because both engines compute the same
+// value mod p and emit it canonically.
+#ifdef HADES_IFMA
+
+struct Fr52 {
+  u64 l[5];
+};
+
+constexpr u64 M52 = (1ull << 52) - 1;
+
+Fr52 g8_p, g8_2p;  // p and 2p, radix-52
+u64 g8_inv52;      // -p^{-1} mod 2^52 (truncation of INV)
+Fr52 g8_r2;        // 2^520 mod p: to-Montgomery(R'=2^260) multiplier
+Fr52 g8_one;       // 1: from-Montgomery multiplier
+Fr52 g8v_ark[N_ARK];
+Fr52 g8v_mds[WIDTH][WIDTH];
+Fr52 g8v_c0[WIDTH], g8v_u[PARTIAL][4], g8v_w[PARTIAL][4], g8v_m,
+    g8v_d[PARTIAL - 1][WIDTH], g8v_fin[4][4];
+bool g8_ready = false;
+
+inline Fr52 to52(const u64 a[4]) {
+  Fr52 o;
+  o.l[0] = a[0] & M52;
+  o.l[1] = ((a[0] >> 52) | (a[1] << 12)) & M52;
+  o.l[2] = ((a[1] >> 40) | (a[2] << 24)) & M52;
+  o.l[3] = ((a[2] >> 28) | (a[3] << 36)) & M52;
+  o.l[4] = a[3] >> 16;
+  return o;
+}
+
+inline void from52(const u64 l[5], u64 a[4]) {
+  a[0] = l[0] | (l[1] << 52);
+  a[1] = (l[1] >> 12) | (l[2] << 40);
+  a[2] = (l[2] >> 24) | (l[3] << 28);
+  a[3] = (l[3] >> 36) | (l[4] << 16);
+}
+
+struct Fr8 {
+  __m512i l[5];
+};
+
+inline __m512i bc(u64 v) { return _mm512_set1_epi64((long long)v); }
+
+inline Fr8 bc52(const Fr52& c) {
+  Fr8 o;
+  for (int i = 0; i < 5; ++i) o.l[i] = bc(c.l[i]);
+  return o;
+}
+
+// if a >= mod, return a - mod (limbs renormalized); else a. Requires
+// normalized 52-bit limbs on both sides.
+inline Fr8 cond_sub(const Fr8& a, const Fr52& mod) {
+  const __m512i m52 = bc(M52), zero = _mm512_setzero_si512();
+  __m512i borrow = zero, d[5];
+  for (int i = 0; i < 5; ++i) {
+    __m512i t =
+        _mm512_sub_epi64(_mm512_sub_epi64(a.l[i], bc(mod.l[i])), borrow);
+    borrow = _mm512_maskz_srli_epi64((__mmask8)-1, t, 63);  // magnitudes < 2^53: bit63 == sign
+    d[i] = _mm512_and_si512(t, m52);
+  }
+  const __mmask8 ge = _mm512_cmpeq_epu64_mask(borrow, zero);
+  Fr8 o;
+  for (int i = 0; i < 5; ++i)
+    o.l[i] = _mm512_mask_blend_epi64(ge, a.l[i], d[i]);
+  return o;
+}
+
+// a + b with both < 2p -> result < 2p (one conditional 2p-subtract).
+inline Fr8 add8(const Fr8& a, const Fr8& b) {
+  const __m512i m52 = bc(M52);
+  Fr8 s;
+  __m512i c = _mm512_setzero_si512();
+  for (int i = 0; i < 5; ++i) {
+    __m512i t = _mm512_add_epi64(_mm512_add_epi64(a.l[i], b.l[i]), c);
+    c = _mm512_maskz_srli_epi64((__mmask8)-1, t, 52);
+    s.l[i] = _mm512_and_si512(t, m52);
+  }
+  return cond_sub(s, g8_2p);  // sum < 4p < 2^260: no carry out of limb 4
+}
+
+// Montgomery CIOS, radix 2^52: out = a*b*R'^{-1} mod p, < 1.24p for
+// inputs < 2p. 8 independent products per call.
+inline Fr8 mul8(const Fr8& a, const Fr8& b) {
+  const __m512i m52 = bc(M52), zero = _mm512_setzero_si512();
+  const __m512i inv = bc(g8_inv52);
+  __m512i p0 = bc(g8_p.l[0]), p1 = bc(g8_p.l[1]), p2 = bc(g8_p.l[2]),
+          p3 = bc(g8_p.l[3]), p4 = bc(g8_p.l[4]);
+  __m512i t0 = zero, t1 = zero, t2 = zero, t3 = zero, t4 = zero, t5 = zero;
+  for (int i = 0; i < 5; ++i) {
+    const __m512i ai = a.l[i];
+    t0 = _mm512_madd52lo_epu64(t0, ai, b.l[0]);
+    t1 = _mm512_madd52lo_epu64(t1, ai, b.l[1]);
+    t2 = _mm512_madd52lo_epu64(t2, ai, b.l[2]);
+    t3 = _mm512_madd52lo_epu64(t3, ai, b.l[3]);
+    t4 = _mm512_madd52lo_epu64(t4, ai, b.l[4]);
+    t1 = _mm512_madd52hi_epu64(t1, ai, b.l[0]);
+    t2 = _mm512_madd52hi_epu64(t2, ai, b.l[1]);
+    t3 = _mm512_madd52hi_epu64(t3, ai, b.l[2]);
+    t4 = _mm512_madd52hi_epu64(t4, ai, b.l[3]);
+    t5 = _mm512_madd52hi_epu64(t5, ai, b.l[4]);
+    // m = low52(t0) * inv mod 2^52 (vpmadd52lo masks operands to 52 bits)
+    const __m512i m = _mm512_madd52lo_epu64(zero, t0, inv);
+    t0 = _mm512_madd52lo_epu64(t0, m, p0);  // t0 == 0 mod 2^52 now
+    t1 = _mm512_madd52lo_epu64(t1, m, p1);
+    t2 = _mm512_madd52lo_epu64(t2, m, p2);
+    t3 = _mm512_madd52lo_epu64(t3, m, p3);
+    t4 = _mm512_madd52lo_epu64(t4, m, p4);
+    t1 = _mm512_madd52hi_epu64(t1, m, p0);
+    t2 = _mm512_madd52hi_epu64(t2, m, p1);
+    t3 = _mm512_madd52hi_epu64(t3, m, p2);
+    t4 = _mm512_madd52hi_epu64(t4, m, p3);
+    t5 = _mm512_madd52hi_epu64(t5, m, p4);
+    const __m512i carry = _mm512_maskz_srli_epi64((__mmask8)-1, t0, 52);
+    t0 = _mm512_add_epi64(t1, carry);
+    t1 = t2;
+    t2 = t3;
+    t3 = t4;
+    t4 = t5;
+    t5 = zero;
+  }
+  __m512i t[5] = {t0, t1, t2, t3, t4};
+  Fr8 o;
+  __m512i c = zero;
+  for (int i = 0; i < 5; ++i) {
+    __m512i v = _mm512_add_epi64(t[i], c);
+    c = _mm512_maskz_srli_epi64((__mmask8)-1, v, 52);
+    o.l[i] = _mm512_and_si512(v, m52);
+  }
+  return o;
+}
+
+inline void sbox5_8(Fr8& x) {
+  Fr8 x2 = mul8(x, x);
+  Fr8 x4 = mul8(x2, x2);
+  x = mul8(x4, x);
+}
+
+inline void full_round8(Fr8 s[WIDTH], int& ci) {
+  for (int w = 0; w < WIDTH; ++w) s[w] = add8(s[w], bc52(g8v_ark[ci++]));
+  for (int w = 0; w < WIDTH; ++w) sbox5_8(s[w]);
+  Fr8 res[WIDTH];
+  for (int k = 0; k < WIDTH; ++k) {
+    Fr8 acc = mul8(bc52(g8v_mds[k][0]), s[0]);
+    for (int j = 1; j < WIDTH; ++j)
+      acc = add8(acc, mul8(bc52(g8v_mds[k][j]), s[j]));
+    res[k] = acc;
+  }
+  for (int w = 0; w < WIDTH; ++w) s[w] = res[w];
+}
+
+// 8-wide mirror of perm_opt_mont (the sparse-factored schedule).
+inline void perm_opt_mont8(Fr8 s[WIDTH]) {
+  int ci = 0;
+  for (int r = 0; r < FULL_HALF; ++r) full_round8(s, ci);
+  for (int w = 0; w < WIDTH; ++w) s[w] = add8(s[w], bc52(g8v_c0[w]));
+  for (int r = 0; r < PARTIAL; ++r) {
+    Fr8 x4 = s[WIDTH - 1];
+    sbox5_8(x4);
+    Fr8 n4 = mul8(bc52(g8v_m), x4);
+    for (int j = 0; j < 4; ++j)
+      n4 = add8(n4, mul8(bc52(g8v_w[r][j]), s[j]));
+    for (int i = 0; i < 4; ++i)
+      s[i] = add8(s[i], mul8(bc52(g8v_u[r][i]), x4));
+    s[WIDTH - 1] = n4;
+    if (r < PARTIAL - 1)
+      for (int w = 0; w < WIDTH; ++w) s[w] = add8(s[w], bc52(g8v_d[r][w]));
+  }
+  Fr8 fix[4];
+  for (int i = 0; i < 4; ++i) {
+    Fr8 acc = mul8(bc52(g8v_fin[i][0]), s[0]);
+    for (int j = 1; j < 4; ++j)
+      acc = add8(acc, mul8(bc52(g8v_fin[i][j]), s[j]));
+    fix[i] = acc;
+  }
+  for (int i = 0; i < 4; ++i) s[i] = fix[i];
+  ci = (FULL_HALF + PARTIAL) * WIDTH;  // ARK of global rounds 63..66
+  for (int r = 0; r < FULL_HALF; ++r) full_round8(s, ci);
+}
+
+// Permute 8 states (8 * WIDTH * 32 bytes, canonical LE) in place.
+void perm_opt_ifma8(uint8_t* states) {
+  Fr8 s[WIDTH];
+  alignas(64) u64 buf[5][8];
+  for (int w = 0; w < WIDTH; ++w) {
+    for (int k = 0; k < 8; ++k) {
+      u64 a[4];
+      std::memcpy(a, states + 32 * (k * WIDTH + w), 32);
+      const Fr52 f = to52(a);
+      for (int l = 0; l < 5; ++l) buf[l][k] = f.l[l];
+    }
+    for (int l = 0; l < 5; ++l)
+      s[w].l[l] = _mm512_load_si512((const void*)buf[l]);
+    s[w] = mul8(s[w], bc52(g8_r2));  // to Montgomery (R' = 2^260)
+  }
+  perm_opt_mont8(s);
+  for (int w = 0; w < WIDTH; ++w) {
+    // from-Montgomery output is < p + 2p/R' (i.e. at most p): one
+    // conditional p-subtract makes it canonical
+    const Fr8 v = cond_sub(mul8(s[w], bc52(g8_one)), g8_p);
+    for (int l = 0; l < 5; ++l)
+      _mm512_store_si512((void*)buf[l], v.l[l]);
+    for (int k = 0; k < 8; ++k) {
+      u64 l5[5], a[4];
+      for (int l = 0; l < 5; ++l) l5[l] = buf[l][k];
+      from52(l5, a);
+      std::memcpy(states + 32 * (k * WIDTH + w), a, 32);
+    }
+  }
+}
+
+// Convert the scalar engines' Montgomery-R(2^256) constants into
+// radix-52 Montgomery-R'(2^260) form. Requires hades_init + the opt
+// schedule to be loaded (their Fr values are c * 2^256 mod p).
+void init_ifma() {
+  g8_inv52 = INV & M52;
+  g8_p = to52(P);
+  u64 p2[4];
+  u128 cc = 0;
+  for (int i = 0; i < 4; ++i) {
+    u128 t = (u128)P[i] + P[i] + cc;
+    p2[i] = (u64)t;
+    cc = t >> 64;
+  }
+  g8_2p = to52(p2);
+  Fr k260 = {{1, 0, 0, 0}};
+  to_mont(k260);  // 2^256 mod p
+  for (int i = 0; i < 4; ++i) add(k260, k260, k260);  // 2^260 mod p
+  Fr r2_260;
+  std::memcpy(r2_260.l, R2, 32);  // 2^512 mod p
+  for (int i = 0; i < 8; ++i) add(r2_260, r2_260, r2_260);  // 2^520 mod p
+  g8_r2 = to52(r2_260.l);
+  const u64 one[4] = {1, 0, 0, 0};
+  g8_one = to52(one);
+  const auto conv = [&](const Fr& mont_c) {
+    Fr t;
+    mont_mul(t, mont_c, k260);  // (c*2^256) * (2^260) / 2^256 = c*2^260
+    return to52(t.l);
+  };
+  for (int i = 0; i < N_ARK; ++i) g8v_ark[i] = conv(g_ark[i]);
+  for (int i = 0; i < WIDTH; ++i)
+    for (int j = 0; j < WIDTH; ++j) g8v_mds[i][j] = conv(g_mds[i][j]);
+  for (int w = 0; w < WIDTH; ++w) g8v_c0[w] = conv(g_opt_c0[w]);
+  for (int r = 0; r < PARTIAL; ++r)
+    for (int i = 0; i < 4; ++i) {
+      g8v_u[r][i] = conv(g_opt_u[r][i]);
+      g8v_w[r][i] = conv(g_opt_w[r][i]);
+    }
+  g8v_m = conv(g_opt_m);
+  for (int r = 0; r < PARTIAL - 1; ++r)
+    for (int w = 0; w < WIDTH; ++w) g8v_d[r][w] = conv(g_opt_d[r][w]);
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j) g8v_fin[i][j] = conv(g_opt_fin[i][j]);
+  g8_ready = true;
+}
+
+#endif  // HADES_IFMA
+
+// Shared scalar body of hades_perm_batch_opt (also the non-multiple-of-8
+// tail under the IFMA engine).
+inline void perm_batch_opt_scalar(uint8_t* states, long n) {
+  for (long b = 0; b < n; ++b) {
+    Fr s[WIDTH];
+    for (int w = 0; w < WIDTH; ++w) {
+      decode(s[w], states + 32 * (b * WIDTH + w));
+      to_mont(s[w]);
+    }
+    perm_opt_mont(s);
+    for (int w = 0; w < WIDTH; ++w) {
+      from_mont(s[w]);
+      std::memcpy(states + 32 * (b * WIDTH + w), s[w].l, 32);
+    }
+  }
+}
+
 }  // namespace
 
 // Load constants from the raw asset bytes (canonical LE scalars).
@@ -291,26 +586,63 @@ int hades_init_opt(const uint8_t* payload, long len) {
   for (int i = 0; i < 4; ++i)
     for (int j = 0; j < 4; ++j) next(g_opt_fin[i][j]);
   g_opt_ready = true;
+#ifdef HADES_IFMA
+  init_ifma();
+#endif
   return 0;
 }
 
 // Permute n states in place through the sparse-factored schedule
 // (bit-identical outputs to hades_perm_batch; ~1.9x fewer field muls).
+// On AVX-512 IFMA hosts, groups of 8 states run through the batch
+// vector engine (radix-52 Montgomery, bit-identical canonical outputs);
+// the remainder takes the scalar path.
 int hades_perm_batch_opt(uint8_t* states, long n) {
   if (!g_opt_ready) return -1;
-  for (long b = 0; b < n; ++b) {
-    Fr s[WIDTH];
-    for (int w = 0; w < WIDTH; ++w) {
-      decode(s[w], states + 32 * (b * WIDTH + w));
-      to_mont(s[w]);
-    }
-    perm_opt_mont(s);
-    for (int w = 0; w < WIDTH; ++w) {
-      from_mont(s[w]);
-      std::memcpy(states + 32 * (b * WIDTH + w), s[w].l, 32);
-    }
+#ifdef HADES_IFMA
+  if (g8_ready) {
+    const long groups = n / 8;
+    for (long g = 0; g < groups; ++g)
+      perm_opt_ifma8(states + 32 * WIDTH * 8 * g);
+    perm_batch_opt_scalar(states + 32 * WIDTH * 8 * groups, n - 8 * groups);
+    return 0;
   }
+#endif
+  perm_batch_opt_scalar(states, n);
   return 0;
+}
+
+// 1 when the AVX-512 IFMA batch engine is compiled in and initialized.
+int hades_has_ifma(void) {
+#ifdef HADES_IFMA
+  return g8_ready ? 1 : 0;
+#else
+  return 0;
+#endif
+}
+
+// Single-thread throughput of the IFMA batch-8 engine (includes the
+// canonical<->radix-52 conversions each call, like real usage). -1 when
+// the engine is not compiled in.
+double hades_bench_opt8(long n) {
+#ifdef HADES_IFMA
+  if (!g8_ready) return -1.0;
+  alignas(64) uint8_t buf[8 * WIDTH * 32] = {};
+  for (int k = 0; k < 8; ++k)
+    for (int w = 0; w < WIDTH; ++w)
+      buf[32 * (k * WIDTH + w)] = (uint8_t)(w + 1);
+  const long groups = (n + 7) / 8;
+  auto t0 = std::chrono::steady_clock::now();
+  for (long i = 0; i < groups; ++i) perm_opt_ifma8(buf);
+  auto t1 = std::chrono::steady_clock::now();
+  double secs = std::chrono::duration<double>(t1 - t0).count();
+  volatile uint8_t sink = buf[0];
+  (void)sink;
+  return (double)(groups * 8) / secs;
+#else
+  (void)n;
+  return -1.0;
+#endif
 }
 
 // Single-thread throughput of the sparse-factored schedule.

@@ -136,3 +136,26 @@ def test_native_opt_engine_bit_identical(rng):
     assert np.array_equal(native.perm_batch_digits(x),
                           native.perm_batch_digits_naive(x))
     assert native.bench_perms_per_sec_opt(2000) > 0
+
+
+def test_native_ifma_group_tail_and_edges(rng):
+    """On AVX-512 IFMA hosts hades_perm_batch_opt runs 8-state groups
+    through the radix-52 vector engine and the remainder through the
+    scalar path; the seam and the extreme field values must both be
+    bit-identical to the naive engine and canonical. On non-IFMA hosts
+    this degenerates to scalar-vs-naive (still a valid identity)."""
+    edge = [0, 1, P - 1, P - 2, (1 << 255) % P]
+    vals = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+            for _ in range(21)]  # 2 vector groups + a 5-state scalar tail
+    vals[0] = edge
+    vals[8] = edge[::-1]  # edge values inside the second vector group
+    vals[20] = edge       # and inside the scalar tail
+    x = ints_to_digits(vals, shape=(21, 5))
+    got = native.perm_batch_digits(x)
+    assert np.array_equal(got, native.perm_batch_digits_naive(x))
+    assert not (np.asarray(got, np.uint32) >> 16).any()  # 16-bit digits
+    # capability probe + batch-engine bench are consistent
+    if native.has_ifma():
+        assert native.bench_perms_per_sec_opt8(2000) > 0
+    else:
+        assert native.bench_perms_per_sec_opt8(2000) == -1.0
