@@ -109,6 +109,39 @@ DIGEST_INDEX = 1
 G0 = 7  # L0 coset shift: the F_r^* generator, so G0*H_m never meets H_m
 INV2 = (P + 1) // 2
 
+#: Domains above this size fall back to pow() instead of a cached table
+#: (the table is O(m) ints; verifier domains are m0 = n*blowup, well
+#: below this for every preset, but _domain_root accepts up to 2^32).
+_ROOT_POW_MAX = 1 << 21
+
+
+@cache
+def _root_pows(m: int) -> list[int]:
+    """table[e] = w_m^e for the order-m domain root, e in [0, m). One
+    O(m) build per domain size; afterwards every verifier-side
+    pow(_domain_root(m), e, P) is a list index. The verifier previously
+    paid ~25 modexps per query on these (plus one per nonzero public
+    input in _pi_eval)."""
+    w = _domain_root(m)
+    t = [1] * m
+    for i in range(1, m):
+        t[i] = t[i - 1] * w % P
+    return t
+
+
+def _root_pow_at(m: int, e: int) -> int:
+    """w_m^e via the cached table (modexp fallback for huge domains)."""
+    if m <= _ROOT_POW_MAX:
+        return _root_pows(m)[e % m]
+    return pow(_domain_root(m), e, P)
+
+
+@cache
+def _g0_pow(e: int) -> int:
+    """G0^e mod p (few distinct exponents per verification: the layer
+    coset shifts G0^(2^k) and the DEEP degree-shift bases)."""
+    return pow(G0, e, P)
+
 SELECTOR_NAMES = ("q_m", "q_l", "q_r", "q_o", "q_4", "q_c")
 SIGMA_NAMES = ("s0", "s1", "s2", "s3")
 #: Fixed transcript order for the claimed evaluations ("zw" = z(omega*zeta)).
@@ -118,6 +151,26 @@ EVAL_ORDER = ("a", "b", "o", "d", "z", "zw", "t") + SELECTOR_NAMES + SIGMA_NAMES
 # ---------------------------------------------------------------------------
 # Permutation backend for commitment trees (canonical domain, batched)
 # ---------------------------------------------------------------------------
+
+
+def _pcs_perm_native(digits):
+    """Single-thread native engine with the per-call canonicality scan
+    skipped: every admission point into this seam proves canonicality
+    (wire bytes via bytes_to_digits, proof openings via _check_opening,
+    prover-side digits via ints_to_digits), and the engine's outputs
+    are canonical by construction. Module-level so its identity is
+    stable across default_pcs_perm() calls."""
+    from .utils import native
+
+    return native.perm_batch_digits(digits, validate=False)
+
+
+def _pcs_perm_native_mt(digits):
+    """Multi-core variant of _pcs_perm_native (same admission-point
+    canonicality contract)."""
+    from .utils import native
+
+    return native.perm_batch_digits_mt(digits, validate=False)
 
 
 def default_pcs_perm():
@@ -141,9 +194,13 @@ def default_pcs_perm():
         from .utils import native
 
         if native.available():
+            # validate=False (see _pcs_perm_native*): every admission
+            # point into this seam already proves canonicality, so the
+            # per-call scan is redundant — it cost ~20% of a
+            # single-proof host verification.
             if (_os.cpu_count() or 1) > 1:
-                return native.perm_batch_digits_mt
-            return native.perm_batch_digits
+                return _pcs_perm_native_mt
+            return _pcs_perm_native
     except Exception:
         pass
     from .ops.perm_pallas import permute_pallas
@@ -871,12 +928,11 @@ def _fold_inv_table(queries, m0: int, sched, zeta: int, omega: int) -> dict:
     _deep_eval just look up what they previously exponentiated
     (VERDICT r4 next #1: the host verifier's per-query algebra was
     ~half its latency, almost all of it Fermat inversions)."""
-    w0 = _domain_root(m0)
     zw = zeta * omega % P
     pts = set()
     chains = [layer_positions(q, m0, sched) for q in queries]
     for q in set(int(q) for q in queries):
-        x = G0 * pow(w0, q, P) % P
+        x = G0 * _root_pow_at(m0, q) % P
         pts.add(x)
         for y in (x, (P - x) % P):
             pts.add((y - zeta) % P)
@@ -884,11 +940,10 @@ def _fold_inv_table(queries, m0: int, sched, zeta: int, omega: int) -> dict:
     for li, (k, bs) in enumerate(sched):
         m_k = m0 >> k
         npos = m_k // bs
-        wk = _domain_root(m_k)
-        base = pow(G0, 1 << k, P)
-        wnp = pow(wk, npos, P)
+        base = _g0_pow(1 << k)
+        wnp = _root_pow_at(m_k, npos)
         for b_pos in {c[li] for c in chains}:
-            xk = base * pow(wk, b_pos, P) % P
+            xk = base * _root_pow_at(m_k, b_pos) % P
             pts.add(xk)
             if bs == 4:
                 pts.add(xk * wnp % P)
@@ -1066,12 +1121,15 @@ def _deep_compose(m0: int, bounds: dict, poly_evals: dict, evals: dict,
 
 
 def _deep_eval_terms(x: int, d_bound: int, term_list, zeta: int,
-                     omega: int, gdeep: int, inv_of=None) -> int:
+                     omega: int, gdeep: int, inv_of=None, pos=None) -> int:
     """Verifier: F at one query point from generic terms
     (opened_value, v, shifted, dj); same order as _deep_compose_terms.
     inv_of (see _fold_inv_table) replaces the two per-point Fermat
     inversions; the degree-shift powers x^s are shared across the terms
-    with equal bounds (only ~5 distinct exponents, all << |F|)."""
+    with equal bounds (only ~5 distinct exponents). pos=(m0, p) asserts
+    x == G0 * w_m0^p, turning each x^s modexp into two cached-table
+    lookups (x^s = G0^s * w^(p*s mod m0)); callers with arbitrary x
+    omit it."""
     zw = zeta * omega % P
     den_z, den_wz = (x - zeta) % P, (x - zw) % P
     if inv_of is not None:
@@ -1086,7 +1144,11 @@ def _deep_eval_terms(x: int, d_bound: int, term_list, zeta: int,
         s = d_bound + 1 - dj
         xs = xpow.get(s)
         if xs is None:
-            xs = xpow[s] = pow(x, s, P)
+            if pos is not None:
+                xs = _g0_pow(s) * _root_pow_at(pos[0], pos[1] * s) % P
+            else:
+                xs = pow(x, s, P)
+            xpow[s] = xs
         diff = (opened - v) % P
         term = xs * diff % P * (inv_wz if shifted else inv_z) % P
         acc = (acc + gpow * term) % P
@@ -1095,14 +1157,14 @@ def _deep_eval_terms(x: int, d_bound: int, term_list, zeta: int,
 
 
 def _deep_eval(x: int, bounds: dict, opened: dict, evals: dict, zeta: int,
-               omega: int, gdeep: int, inv_of=None) -> int:
+               omega: int, gdeep: int, inv_of=None, pos=None) -> int:
     """Verifier: F at one query point from the opened leaf values."""
     term_list = [
         (opened[pname], evals[ename], shifted, dj)
         for pname, ename, shifted, dj in _terms(bounds)
     ]
     return _deep_eval_terms(x, bounds["D"], term_list, zeta, omega, gdeep,
-                            inv_of)
+                            inv_of, pos)
 
 
 # ---------------------------------------------------------------------------
@@ -1392,7 +1454,14 @@ def _pi_eval(public_inputs, n_gates: int, n: int, omega: int,
              if v % P]
     if not terms:
         return 0
-    omega_pows = {i: pow(omega, i, P) for i, _ in terms}
+    # vk.omega is always the order-n domain root (plonk.preprocess), so
+    # the cached powers table applies — the gadget circuits put an ARK
+    # constant on most gates' public-input column, so this loop runs
+    # over ~n_gates nonzero terms. Guarded for robustness.
+    if omega == _domain_root(n):
+        omega_pows = {i: _root_pow_at(n, i) for i, _ in terms}
+    else:
+        omega_pows = {i: pow(omega, i, P) for i, _ in terms}
     dens = [n * (zeta - omega_pows[i]) % P for i, _ in terms]
     invs = batch_inverse(dens)
     acc = 0
@@ -1714,10 +1783,13 @@ def verify_succinct_batched(vk: VerifyingKey, proofs, public_inputs_list,
                 for ci, pname in enumerate(colnames):
                     opened_lo[pname] = blk[ci]
                     opened_hi[pname] = blk[nc + ci]
+            # positions: x = G0*w^q, -x = G0*w^(q + m0/2) — lets
+            # _deep_eval take its degree-shift powers from the cached
+            # root tables instead of two modexps per term bound
             f_lo = _deep_eval(x, bounds, opened_lo, ev, zeta, omega, gdeep,
-                              inv_of)
+                              inv_of, pos=(m0, q))
             f_hi = _deep_eval((P - x) % P, bounds, opened_hi, ev, zeta,
-                              omega, gdeep, inv_of)
+                              omega, gdeep, inv_of, pos=(m0, q + m0 // 2))
             return f_lo, f_hi
 
         verdict[b] = _fold_check(
@@ -1740,9 +1812,8 @@ def _fold_check(queries, betas, m0: int, n_folds: int, sched, layer_by,
     (same beta) and the two results fold once more. inv_of: the
     precomputed inverse table (_fold_inv_table); without it every fold
     pays a Fermat exponentiation."""
-    w0 = _domain_root(m0)
     for qi, q in enumerate(queries):
-        x = G0 * pow(w0, q, P) % P
+        x = G0 * _root_pow_at(m0, q) % P
         f_lo, f_hi = deep_pair_fn(qi, x)
         v = _fold_pair(f_lo, f_hi, betas[0], x, inv_of)
         i = q  # position in layer 1 (size m0/2)
@@ -1755,12 +1826,12 @@ def _fold_check(queries, betas, m0: int, n_folds: int, sched, layer_by,
                 return False
             if block[i // npos] != v:
                 return False
-            xk = pow(G0, 1 << k, P) * pow(_domain_root(m_k), b_pos, P) % P
+            xk = _g0_pow(1 << k) * _root_pow_at(m_k, b_pos) % P
             if bs == 4:
                 # pairs (slot0, slot2) at x_k and (slot1, slot3) at
                 # x_k * w^{m/4}; their folds land at (b, b + m'/2) with
                 # coordinates (x_k^2, -x_k^2)
-                x1 = xk * pow(_domain_root(m_k), npos, P) % P
+                x1 = xk * _root_pow_at(m_k, npos) % P
                 u0 = _fold_pair(block[0], block[2], betas[k], xk, inv_of)
                 u1 = _fold_pair(block[1], block[3], betas[k], x1, inv_of)
                 v = _fold_pair(u0, u1, betas[k + 1], xk * xk % P, inv_of)
@@ -1768,8 +1839,8 @@ def _fold_check(queries, betas, m0: int, n_folds: int, sched, layer_by,
                 v = _fold_pair(block[0], block[1], betas[k], xk, inv_of)
             i = b_pos
         m_l = m0 >> n_folds
-        x_final = (pow(G0, 1 << n_folds, P)
-                   * pow(_domain_root(m_l), i % m_l, P) % P)
+        x_final = (_g0_pow(1 << n_folds)
+                   * _root_pow_at(m_l, i % m_l) % P)
         if v != poly_eval(list(final_coeffs), x_final):
             return False
     return True

@@ -106,13 +106,28 @@ def scalar_from_bytes(b: bytes) -> int:
 
 def check_canonical_digits(flat: np.ndarray, msg: str) -> None:
     """Vectorized canonicality check on (K, N_DIGITS) normalized digits
-    (each < 2^16): every value must be < p or ValueError(msg) is raised."""
+    (each < 2^16): every value must be < p or ValueError(msg) is raised.
+
+    Fast path: a row whose TOP digit is strictly below p's top digit
+    (0x73ed) is canonical regardless of the rest, so the full
+    lexicographic sweep only runs over rows whose top digit equals it —
+    vanishingly few for field-random data. (This check sits under every
+    native-engine admission point and conversion; at ~250 small calls
+    per proof verification the 2*N_DIGITS-op sweep was measurable.)"""
     pd = _P_DIGITS_DESC
-    ge = np.zeros(flat.shape[0], bool)
-    eq = np.ones(flat.shape[0], bool)
-    for i in range(N_DIGITS - 1, -1, -1):
-        ge |= eq & (flat[:, i] > pd[i])
-        eq &= flat[:, i] == pd[i]
+    top = flat[:, N_DIGITS - 1]
+    p_top = pd[N_DIGITS - 1]
+    if bool((top > p_top).any()):
+        raise ValueError(msg)
+    sus = top == p_top
+    if not bool(sus.any()):
+        return
+    sub = flat[sus]
+    ge = np.zeros(sub.shape[0], bool)
+    eq = np.ones(sub.shape[0], bool)
+    for i in range(N_DIGITS - 2, -1, -1):
+        ge |= eq & (sub[:, i] > pd[i])
+        eq &= sub[:, i] == pd[i]
     if bool((ge | eq).any()):
         raise ValueError(msg)
 

@@ -153,44 +153,55 @@ def perm_batch_bytes(states: bytes | bytearray, n: int) -> bytes:
     return buf.raw
 
 
-def _digits_u16_buf(digits: np.ndarray) -> np.ndarray:
+def _digits_u16_buf(digits: np.ndarray, validate: bool = True) -> np.ndarray:
     """(B, 5, N_DIGITS) canonical digit array -> contiguous little-endian
     uint16 buffer whose bytes ARE the n*5*32-byte canonical LE layout the
     C engine operates on (no Python-int round trip). Canonicality is
-    checked vectorized — the engine assumes reduced inputs."""
+    checked vectorized (the engine assumes reduced inputs) unless the
+    caller asserts it via validate=False (see perm_batch_digits)."""
     from .encoding import N_DIGITS, check_canonical_digits
 
     arr = np.asarray(digits, np.uint32)
     if arr.ndim != 3 or arr.shape[1:] != (5, N_DIGITS):
         raise ValueError(f"expected (B, 5, {N_DIGITS}) digits")
-    if arr.size and not bool((arr < 65536).all()):
-        raise ValueError("digits not normalized (>= 2^16)")
-    check_canonical_digits(
-        arr.reshape(-1, N_DIGITS),
-        "not a canonical field element: value >= p",
-    )
+    if validate:
+        if arr.size and not bool((arr < 65536).all()):
+            raise ValueError("digits not normalized (>= 2^16)")
+        check_canonical_digits(
+            arr.reshape(-1, N_DIGITS),
+            "not a canonical field element: value >= p",
+        )
     return np.ascontiguousarray(arr).astype("<u2")
 
 
-def _perm_batch(symbol: str, digits: np.ndarray) -> np.ndarray:
+def _perm_batch(symbol: str, digits: np.ndarray,
+                validate: bool = True) -> np.ndarray:
     b = int(digits.shape[0])
     if b == 0:
         return np.zeros_like(np.asarray(digits, np.uint32))
-    buf = _digits_u16_buf(digits)
+    buf = _digits_u16_buf(digits, validate)
     if getattr(_lib(), symbol)(
             buf.ctypes.data_as(ctypes.c_void_p), b) != 0:
         raise NativeUnavailable(f"{symbol} failed")
     return buf.astype(np.uint32)
 
 
-def perm_batch_digits(digits: np.ndarray) -> np.ndarray:
+def perm_batch_digits(digits: np.ndarray, validate: bool = True) -> np.ndarray:
     """Permute (B, 5, N_DIGITS) uint32 canonical digit arrays natively
     through the sparse-factored schedule (hades_perm_batch_opt — ~1.9x
     fewer field muls than the naive dense schedule, bit-identical
     outputs; tests/test_native.py pins the identity). The digit buffer
     is passed to the engine in place (uint16 LE digits are exactly the
-    canonical 32-byte LE scalar layout)."""
-    return _perm_batch("hades_perm_batch_opt", digits)
+    canonical 32-byte LE scalar layout).
+
+    validate=False skips the per-call canonicality scan; callers own
+    the proof that every input is already canonical — the framework's
+    pooled hashing seam (fri.default_pcs_perm) qualifies because every
+    admission point validates (wire deserialization via bytes_to_digits
+    and proof openings via fri._check_opening), and the engine's own
+    outputs are canonical by construction. Default True for everyone
+    else."""
+    return _perm_batch("hades_perm_batch_opt", digits, validate)
 
 
 def perm_batch_digits_naive(digits: np.ndarray) -> np.ndarray:
@@ -208,7 +219,8 @@ _MT_MIN_BATCH = 256
 
 
 def perm_batch_digits_mt(digits: np.ndarray,
-                         n_threads: int | None = None) -> np.ndarray:
+                         n_threads: int | None = None,
+                         validate: bool = True) -> np.ndarray:
     """Multi-thread native permutation: shard the batch across OS
     threads, each running hades_perm_batch on its contiguous slice of
     ONE shared buffer. hades_perm_batch is stateless over caller memory
@@ -234,9 +246,9 @@ def perm_batch_digits_mt(digits: np.ndarray,
         n_threads = os.cpu_count() or 1
     n_threads = max(1, min(int(n_threads), b))
     if n_threads == 1 or (auto and b < _MT_MIN_BATCH):
-        return perm_batch_digits(digits)
+        return perm_batch_digits(digits, validate)
     lib = _lib()
-    buf = _digits_u16_buf(digits)
+    buf = _digits_u16_buf(digits, validate)
     base = buf.ctypes.data
     bounds = [b * t // n_threads for t in range(n_threads + 1)]
     # sentinel -1: a shard whose thread dies before the foreign call must

@@ -159,3 +159,31 @@ def test_native_ifma_group_tail_and_edges(rng):
         assert native.bench_perms_per_sec_opt8(2000) > 0
     else:
         assert native.bench_perms_per_sec_opt8(2000) == -1.0
+
+
+def test_native_validate_flag(rng):
+    """validate=False (the pooled-seam fast path: canonicality proven
+    at every admission point) must be bit-identical to the validating
+    path on canonical inputs; validate=True must keep rejecting
+    non-canonical and non-normalized digits."""
+    vals = [[int.from_bytes(rng.bytes(40), "little") % P for _ in range(5)]
+            for _ in range(9)]
+    x = ints_to_digits(vals, shape=(9, 5))
+    assert np.array_equal(native.perm_batch_digits(x, validate=False),
+                          native.perm_batch_digits(x))
+    assert np.array_equal(
+        native.perm_batch_digits_mt(x, n_threads=2, validate=False),
+        native.perm_batch_digits(x))
+    bad = np.asarray(x, np.uint32).copy()
+    bad[0, 0, :] = 0xFFFF  # 16-bit digits but value >= p
+    with pytest.raises(ValueError, match="canonical"):
+        native.perm_batch_digits(bad)
+    wide = np.asarray(x, np.uint32).copy()
+    wide[0, 0, 0] += 1 << 16
+    with pytest.raises(ValueError, match="normalized"):
+        native.perm_batch_digits(wide)
+    # the framework's pooled seam is the validate=False fast path
+    from hades252_tpu import fri
+
+    assert fri.default_pcs_perm() in (fri._pcs_perm_native,
+                                      fri._pcs_perm_native_mt)
